@@ -1,0 +1,183 @@
+"""Typed configuration system.
+
+Replaces the reference's three config mechanisms — argparse CLIs
+(/root/reference/src/run.py:13-22), the gitignored plain-dict ``c_config``
+module (/root/reference/src/audio/default_config.py:7-34), and hard-coded
+experiment registries (/root/reference/src/get_prob_audio_8_cl.py:154-207) —
+with one tree of frozen dataclasses. Everything is static so that jitted
+programs see compile-time constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+def _asdict(obj: Any) -> Any:
+    if dataclasses.is_dataclass(obj):
+        return {f.name: _asdict(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+    if isinstance(obj, (list, tuple)):
+        return [_asdict(x) for x in obj]
+    return obj
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """RetinaFace detector stage.
+
+    Reference semantics: threshold 0.8, resnet50 backbone, conf_thresh 0.02,
+    nms_thresh 0.4, nms_top_k 5000, top_k 750
+    (.../retina_face/retina_face_predictor.py:18-57, get_face_images.py:27-31).
+    """
+
+    backbone: str = "resnet50"  # or "mobilenet0.25"
+    threshold: float = 0.8
+    conf_thresh: float = 0.02
+    nms_thresh: float = 0.4
+    #: Fixed candidate budget for the TPU NMS (reference nms_top_k=5000 is a
+    #: cap on a variable-length list; we keep a static top-K instead).
+    nms_candidates: int = 512
+    top_k: int = 750
+    max_faces: int = 8
+    #: If >0, letterbox-resize frames so the long side equals this bucket and
+    #: run the detector at fixed shape (TPU-friendly). 0 = native resolution
+    #: padded to a bucket (parity mode).
+    long_side: int = 640
+    #: IoU tracker threshold (get_face_images.py:32).
+    tracker_iou: float = 0.4
+    min_face_size: float = 0.0
+    batch_size: int = 8
+
+
+@dataclass(frozen=True)
+class VisualConfig:
+    """Static CNN + dynamic LSTM stage (get_prob_video.py)."""
+
+    num_classes: int = 7
+    lstm_window: int = 10
+    batch_size: int = 64
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    """Audio stage (get_prob_audio_{7,8}_cl.py)."""
+
+    num_classes: int = 8
+    head: str = "v3"  # v1 | v2 | v3
+    sample_rate: int = 16_000
+    window_sec: float = 4.0
+    step_sec: float = 0.5
+    padding: str = "mean"  # mean | constant | repeat
+    batch_size: int = 16
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class FusionConfig:
+    """Probability fusion + compound-expression decision (run.py:25-189)."""
+
+    #: 3x7 per-(model, emotion) Dirichlet weights; None = plain average.
+    use_published_weights: bool = True
+    #: Scalar per-model weights (run.py:197 ``weights_model=[1, 1, 1]``).
+    model_weights: tuple[float, float, float] = (1.0, 1.0, 1.0)
+    #: Rule 2: pair-normalized prior weights (run.py:216).
+    ce_weights_type: bool = False
+    #: Rule 1: zero out probabilities <= 1/7 (run.py:217, CLI default True).
+    ce_mask: bool = True
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for scale-out. Inference shards the frame/window batch
+    axis ("data"); training adds optional model-parallel sharding of the
+    wav2vec2 encoder ("model")."""
+
+    data: int = 1
+    model: int = 1
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+    visual: VisualConfig = field(default_factory=VisualConfig)
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    fusion: FusionConfig = field(default_factory=FusionConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    #: Write face crops to ``<save>/<video>/<tid>/<frame>.jpg`` like the
+    #: reference (get_face_images.py:57-60). Off by default: the TPU pipeline
+    #: keeps crops in memory; this is an output-parity option only.
+    save_face_crops: bool = False
+    save_probs: bool = True
+    save_plot: bool = True
+    weights_dir: str = "weights"
+
+    def to_json(self, **kw: Any) -> str:
+        return json.dumps(_asdict(self), indent=2, **kw)
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """Adam + CosineAnnealingWarmRestarts with the reference's per-batch
+    ``epoch + idx/iters`` stepping (net_trainer.py:437, train_c_audio.py:246-250)."""
+
+    lr: float = 1e-4
+    t0: int = 10
+    t_mult: int = 1
+    eta_min: float = 0.0
+    weight_decay: float = 0.0
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    model: str = "v3"
+    num_classes: int = 8
+    epochs: int = 100
+    batch_size: int = 24
+    seed: int = 0
+    augmentation: bool = False
+    filtered: bool = True
+    label_smoothing: float = 0.2
+    mixup_alpha: float = 0.3
+    loss: str = "weighted_ce"  # weighted_ce | soft_focal
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    log_root: str = "logs"
+    #: model-selection metric (train_c_audio.py:217)
+    selection_metric: str = "f1"
+
+    def to_json(self, **kw: Any) -> str:
+        return json.dumps(_asdict(self), indent=2, **kw)
+
+
+def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["PipelineConfig", str, str]:
+    """CLI surface compatible with the reference entry point
+    (``--path_video``/``--path_save``, run.py:13-22) plus framework knobs."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="avcer-tpu run")
+    p.add_argument("--path_video", type=str, default="video/")
+    p.add_argument("--path_save", type=str, default="report/")
+    p.add_argument("--long_side", type=int, default=640)
+    p.add_argument("--no_published_weights", action="store_true")
+    p.add_argument("--ce_weights_type", action="store_true")
+    p.add_argument("--no_ce_mask", action="store_true")
+    p.add_argument("--save_face_crops", action="store_true")
+    p.add_argument("--weights_dir", type=str, default="weights")
+    p.add_argument("--data_parallel", type=int, default=1)
+    a = p.parse_args(argv)
+    cfg = PipelineConfig(
+        detector=DetectorConfig(long_side=a.long_side),
+        fusion=FusionConfig(
+            use_published_weights=not a.no_published_weights,
+            ce_weights_type=a.ce_weights_type,
+            ce_mask=not a.no_ce_mask,
+        ),
+        mesh=MeshConfig(data=a.data_parallel),
+        save_face_crops=a.save_face_crops,
+        weights_dir=a.weights_dir,
+    )
+    return cfg, a.path_video, a.path_save

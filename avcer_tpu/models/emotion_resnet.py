@@ -1,0 +1,127 @@
+"""Static emotion CNN: the reference's custom TF-flavored ResNet50.
+
+Behavior contract — /root/reference/src/architectures/video.py:7-166:
+
+- Bottleneck with BN eps=1e-3 (TF Keras default), stride on the FIRST 1x1
+  conv (:13-21 — caffe-style, unlike torchvision), 3x3 conv padding "same"
+- stem: Conv2dSame(3->64, k=7, s=2) — TF asymmetric "same" padding (:63-90)
+- MaxPool2d(3, 2) with NO padding (:103)
+- head: avgpool -> fc1(2048->512) -> ReLU -> fc2(512->7); the 512-d
+  pre-ReLU fc1 output is the dynamic model's feature (:110-127 and
+  get_prob_video.py:115 applies F.relu to the harvested feature)
+
+TPU design: NHWC layout, bf16 convs with fp32 BN; the dynamic-model feature
+(relu(fc1)) and the softmax probabilities come out of one fused forward over
+the whole frame batch — no hooks, no second pass.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from avcer_tpu.models.layers import Dtype, TorchBatchNorm
+
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.01  # torch momentum 0.99 convention quirk: reference passes
+# momentum=0.99 to nn.BatchNorm2d, which in torch means new = 0.01*old +
+# 0.99*batch. Running stats come converted from the checkpoint, so this only
+# matters if training the visual model in this framework.
+
+
+def same_pad(i: int, k: int, s: int, d: int = 1) -> tuple[int, int]:
+    """TF 'same' padding amounts (lo, hi) for one spatial dim
+    (architectures/video.py:65-66: total = max((ceil(i/s)-1)*s+(k-1)*d+1-i, 0),
+    split low = total//2, high = total - total//2)."""
+    total = max((-(-i // s) - 1) * s + (k - 1) * d + 1 - i, 0)
+    return total // 2, total - total // 2
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        identity = x
+        h = nn.Conv(
+            self.planes, (1, 1), strides=(self.stride, self.stride),
+            padding="VALID", use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        h = TorchBatchNorm(eps=BN_EPS, momentum=BN_MOMENTUM, dtype=self.dtype,
+                           name="batch_norm1")(h, not train)
+        h = nn.relu(h)
+        h = nn.Conv(
+            self.planes, (3, 3), padding="SAME", use_bias=False,
+            dtype=self.dtype, name="conv2",
+        )(h)
+        h = TorchBatchNorm(eps=BN_EPS, momentum=BN_MOMENTUM, dtype=self.dtype,
+                           name="batch_norm2")(h, not train)
+        h = nn.relu(h)
+        h = nn.Conv(
+            self.planes * 4, (1, 1), padding="VALID", use_bias=False,
+            dtype=self.dtype, name="conv3",
+        )(h)
+        h = TorchBatchNorm(eps=BN_EPS, momentum=BN_MOMENTUM, dtype=self.dtype,
+                           name="batch_norm3")(h, not train)
+        if self.downsample:
+            identity = nn.Conv(
+                self.planes * 4, (1, 1), strides=(self.stride, self.stride),
+                padding="VALID", use_bias=False, dtype=self.dtype,
+                name="downsample_conv",
+            )(identity)
+            identity = TorchBatchNorm(
+                eps=BN_EPS, momentum=BN_MOMENTUM, dtype=self.dtype,
+                name="downsample_bn",
+            )(identity, not train)
+        return nn.relu(h + identity)
+
+
+class EmotionResNet50(nn.Module):
+    """Input: normalized BGR crops [B, 224, 224, 3] (ops.image.vggface_normalize).
+
+    Returns (logits [B, C], features [B, 512]) where features = relu(fc1) —
+    exactly what the dynamic LSTM consumes (get_prob_video.py:115).
+    """
+
+    num_classes: int = 7
+    dtype: Dtype = jnp.float32
+    layer_sizes: tuple[int, int, int, int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = False
+    ) -> tuple[jax.Array, jax.Array]:
+        x = x.astype(self.dtype)
+        h, w = x.shape[1], x.shape[2]
+        ph, pw = same_pad(h, 7, 2), same_pad(w, 7, 2)
+        h_ = nn.Conv(
+            64, (7, 7), strides=(2, 2), padding=(ph, pw), use_bias=False,
+            dtype=self.dtype, name="conv_stem",
+        )(x)
+        h_ = TorchBatchNorm(eps=BN_EPS, momentum=BN_MOMENTUM, dtype=self.dtype,
+                            name="batch_norm1")(h_, not train)
+        h_ = nn.relu(h_)
+        h_ = nn.max_pool(h_, (3, 3), strides=(2, 2), padding="VALID")
+
+        planes = (64, 128, 256, 512)
+        in_ch = 64
+        for li, (blocks, p) in enumerate(zip(self.layer_sizes, planes)):
+            stride = 1 if li == 0 else 2
+            for bi in range(blocks):
+                s = stride if bi == 0 else 1
+                ds = bi == 0 and (s != 1 or in_ch != p * 4)
+                h_ = Bottleneck(
+                    p, stride=s, downsample=ds, dtype=self.dtype,
+                    name=f"layer{li + 1}_{bi}",
+                )(h_, train)
+                in_ch = p * 4
+
+        pooled = jnp.mean(h_, axis=(1, 2))  # AdaptiveAvgPool2d(1)
+        feat_pre = nn.Dense(512, dtype=self.dtype, name="fc1")(pooled)
+        features = nn.relu(feat_pre)
+        logits = nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(features)
+        return logits, features

@@ -1,0 +1,92 @@
+"""Shared building blocks with PyTorch-matching inference semantics.
+
+These exist so converted reference checkpoints reproduce activations exactly:
+
+- ``TorchBatchNorm``: inference BatchNorm y = (x-mean)/sqrt(var+eps)*g+b with
+  configurable eps (the emotion ResNet uses TF-style eps=1e-3,
+  /root/reference/src/architectures/video.py:21; torch default is 1e-5).
+- ``max_pool_1d`` / ``adaptive_avg_pool``: torch floor-mode pooling.
+- ``gelu_exact``: torch nn.GELU default (erf form), used by wav2vec2.
+
+Layout convention: features-last everywhere (NHWC / NLC) — the TPU-native
+layout. Converters transpose torch's NCHW/NCL weights once at load time.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch state names, usable for train (batch stats) and
+    eval (running stats). Parameters: scale, bias; variables: mean, var."""
+
+    eps: float = 1e-5
+    momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, use_running_average: bool = True) -> jax.Array:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            reduce_axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.var(xf, axis=reduce_axes)
+            if not self.is_initializing():
+                n = 1
+                for a in reduce_axes:
+                    n *= x.shape[a]
+                unbiased = var * n / max(n - 1, 1)  # torch tracks unbiased var
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(self.dtype)
+
+
+def max_pool_1d(x: jax.Array, window: int, stride: int | None = None) -> jax.Array:
+    """torch MaxPool1d (valid padding, floor mode). x: [..., L, C]."""
+    stride = stride or window
+    return nn.max_pool(x, window_shape=(window,), strides=(stride,), padding="VALID")
+
+
+def adaptive_avg_pool_to_1(x: jax.Array, axis: int = -2) -> jax.Array:
+    """torch AdaptiveAvgPool*d(1) == mean over spatial axes."""
+    return jnp.mean(x, axis=axis)
+
+
+def gelu_exact(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def scaled_dot_attention(
+    q: jax.Array,  # [B, H, Tq, D]
+    k: jax.Array,  # [B, H, Tk, D]
+    v: jax.Array,  # [B, H, Tk, D]
+    dtype: Dtype = jnp.float32,
+) -> jax.Array:
+    """Unmasked scaled dot-product attention; softmax in fp32 (TPU numerics),
+    matmuls on the MXU in the compute dtype."""
+    d = q.shape[-1]
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v.astype(dtype))

@@ -1,0 +1,265 @@
+"""RetinaFace face detector (resnet50 / mobilenet0.25 backbones) in Flax.
+
+Behavior contract — /root/reference/src/data/face_detection/ibug/face_detection/
+retina_face/{retina_face.py, retina_face_net.py, config.py}:
+
+- torchvision resnet50 backbone (v1.5: stride on the 3x3 conv, BN eps 1e-5,
+  padded maxpool), taps layer2/3/4 (config.py:36 return_layers)
+- FPN to 256 ch: 1x1 lateral convs + nearest upsample + 3x3 merge convs
+  (retina_face_net.py:70-100); LeakyReLU slope 0 == ReLU at 256 ch
+- 3 SSH context modules (retina_face_net.py:41-67)
+- per-level 1x1 heads with 2 anchors: class (softmax in test phase), bbox,
+  landmark (retina_face.py:9-43, 95-115)
+- anchor-row order: level, then row-major spatial, then anchor — identical to
+  ops.boxes.prior_boxes
+
+TPU design: NHWC, bf16 convs, fixed input bucket -> the whole
+detect-decode-NMS stage is one jitted program (see pipeline.detect).
+The mobilenet0.25 variant (retina_face_net.py:103-137) is provided for
+parity with ``RetinaFacePredictor.get_model`` (retina_face_predictor.py:40-52).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from avcer_tpu.models.layers import Dtype, TorchBatchNorm
+
+
+class ConvBN(nn.Module):
+    out_ch: int
+    kernel: int = 3
+    stride: int = 1
+    groups: int = 1
+    relu: bool = True
+    leaky: float = 0.0
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        pad = (self.kernel - 1) // 2
+        h = nn.Conv(
+            self.out_ch, (self.kernel, self.kernel),
+            strides=(self.stride, self.stride), padding=pad, use_bias=False,
+            feature_group_count=self.groups, dtype=self.dtype, name="conv",
+        )(x)
+        h = TorchBatchNorm(eps=self.eps, dtype=self.dtype, name="bn")(h, not train)
+        if self.relu:
+            h = nn.leaky_relu(h, self.leaky) if self.leaky else nn.relu(h)
+        return h
+
+
+# ---------------------------------------------------------------------------
+# torchvision-style ResNet50 backbone
+# ---------------------------------------------------------------------------
+
+
+class TVBottleneck(nn.Module):
+    """torchvision Bottleneck: stride on the 3x3 conv (v1.5), BN eps 1e-5."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        identity = x
+        h = nn.Conv(self.planes, (1, 1), padding="VALID", use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        h = TorchBatchNorm(dtype=self.dtype, name="bn1")(h, not train)
+        h = nn.relu(h)
+        h = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, dtype=self.dtype, name="conv2")(h)
+        h = TorchBatchNorm(dtype=self.dtype, name="bn2")(h, not train)
+        h = nn.relu(h)
+        h = nn.Conv(self.planes * 4, (1, 1), padding="VALID", use_bias=False,
+                    dtype=self.dtype, name="conv3")(h)
+        h = TorchBatchNorm(dtype=self.dtype, name="bn3")(h, not train)
+        if self.downsample:
+            identity = nn.Conv(
+                self.planes * 4, (1, 1), strides=(self.stride, self.stride),
+                padding="VALID", use_bias=False, dtype=self.dtype,
+                name="downsample_conv",
+            )(identity)
+            identity = TorchBatchNorm(dtype=self.dtype, name="downsample_bn")(
+                identity, not train
+            )
+        return nn.relu(h + identity)
+
+
+class ResNet50Backbone(nn.Module):
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = False
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        h = TorchBatchNorm(dtype=self.dtype, name="bn1")(h, not train)
+        h = nn.relu(h)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        outs = []
+        in_ch = 64
+        for li, (blocks, planes) in enumerate(
+            zip((3, 4, 6, 3), (64, 128, 256, 512))
+        ):
+            stride = 1 if li == 0 else 2
+            for bi in range(blocks):
+                s = stride if bi == 0 else 1
+                ds = bi == 0 and (s != 1 or in_ch != planes * 4)
+                h = TVBottleneck(planes, stride=s, downsample=ds, dtype=self.dtype,
+                                 name=f"layer{li + 1}_{bi}")(h, train)
+                in_ch = planes * 4
+            if li >= 1:
+                outs.append(h)
+        return tuple(outs)  # layer2, layer3, layer4
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV1-0.25 backbone (retina_face_net.py:103-137)
+# ---------------------------------------------------------------------------
+
+
+class ConvDW(nn.Module):
+    out_ch: int
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        in_ch = x.shape[-1]
+        h = ConvBN(in_ch, 3, self.stride, groups=in_ch, leaky=0.1,
+                   dtype=self.dtype, name="dw")(x, train)
+        return ConvBN(self.out_ch, 1, 1, leaky=0.1, dtype=self.dtype, name="pw")(
+            h, train
+        )
+
+
+class MobileNetV1Backbone(nn.Module):
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = False
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        h = ConvBN(8, 3, 2, leaky=0.1, dtype=self.dtype, name="stage1_0")(x, train)
+        for i, (ch, s) in enumerate([(16, 1), (32, 2), (32, 1), (64, 2), (64, 1)]):
+            h = ConvDW(ch, s, dtype=self.dtype, name=f"stage1_{i + 1}")(h, train)
+        s1 = h
+        for i, (ch, s) in enumerate([(128, 2)] + [(128, 1)] * 5):
+            h = ConvDW(ch, s, dtype=self.dtype, name=f"stage2_{i}")(h, train)
+        s2 = h
+        for i, (ch, s) in enumerate([(256, 2), (256, 1)]):
+            h = ConvDW(ch, s, dtype=self.dtype, name=f"stage3_{i}")(h, train)
+        return s1, s2, h
+
+
+# ---------------------------------------------------------------------------
+# FPN + SSH + heads
+# ---------------------------------------------------------------------------
+
+
+def _upsample_nearest_to(x: jax.Array, hw: tuple[int, int]) -> jax.Array:
+    """F.interpolate(mode='nearest') to an exact size: index map
+    floor(i * in / out) (torch nearest semantics)."""
+    h, w = x.shape[1], x.shape[2]
+    ri = (jnp.arange(hw[0]) * h) // hw[0]
+    ci = (jnp.arange(hw[1]) * w) // hw[1]
+    return x[:, ri[:, None], ci[None, :], :]
+
+
+class FPN(nn.Module):
+    out_ch: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        leaky = 0.1 if self.out_ch <= 64 else 0.0
+        o1 = ConvBN(self.out_ch, 1, leaky=leaky, dtype=self.dtype, name="output1")(
+            feats[0], train)
+        o2 = ConvBN(self.out_ch, 1, leaky=leaky, dtype=self.dtype, name="output2")(
+            feats[1], train)
+        o3 = ConvBN(self.out_ch, 1, leaky=leaky, dtype=self.dtype, name="output3")(
+            feats[2], train)
+        o2 = o2 + _upsample_nearest_to(o3, (o2.shape[1], o2.shape[2]))
+        o2 = ConvBN(self.out_ch, 3, leaky=leaky, dtype=self.dtype, name="merge2")(
+            o2, train)
+        o1 = o1 + _upsample_nearest_to(o2, (o1.shape[1], o1.shape[2]))
+        o1 = ConvBN(self.out_ch, 3, leaky=leaky, dtype=self.dtype, name="merge1")(
+            o1, train)
+        return o1, o2, o3
+
+
+class SSH(nn.Module):
+    out_ch: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        leaky = 0.1 if self.out_ch <= 64 else 0.0
+        c3 = ConvBN(self.out_ch // 2, 3, relu=False, dtype=self.dtype,
+                    name="conv3X3")(x, train)
+        c5_1 = ConvBN(self.out_ch // 4, 3, leaky=leaky, dtype=self.dtype,
+                      name="conv5X5_1")(x, train)
+        c5 = ConvBN(self.out_ch // 4, 3, relu=False, dtype=self.dtype,
+                    name="conv5X5_2")(c5_1, train)
+        c7_2 = ConvBN(self.out_ch // 4, 3, leaky=leaky, dtype=self.dtype,
+                      name="conv7X7_2")(c5_1, train)
+        c7 = ConvBN(self.out_ch // 4, 3, relu=False, dtype=self.dtype,
+                    name="conv7x7_3")(c7_2, train)
+        return nn.relu(jnp.concatenate([c3, c5, c7], axis=-1))
+
+
+class RetinaFace(nn.Module):
+    """Full detector. Input: normalized BGR frames [B, H, W, 3].
+
+    Returns (loc [B, A, 4], conf [B, A, 2] softmaxed, landms [B, A, 10]) with
+    anchor rows ordered to match ``ops.boxes.prior_boxes((H, W))``.
+    """
+
+    backbone: str = "resnet50"
+    dtype: Dtype = jnp.float32
+    num_anchors: int = 2
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False):
+        if self.backbone == "resnet50":
+            feats = ResNet50Backbone(dtype=self.dtype, name="body")(x, train)
+            out_ch = 256
+        elif self.backbone == "mobilenet0.25":
+            feats = MobileNetV1Backbone(dtype=self.dtype, name="body")(x, train)
+            out_ch = 64
+        else:
+            raise ValueError(self.backbone)
+
+        fpn = FPN(out_ch, dtype=self.dtype, name="fpn")(feats, train)
+        features = [
+            SSH(out_ch, dtype=self.dtype, name=f"ssh{i + 1}")(f, train)
+            for i, f in enumerate(fpn)
+        ]
+
+        def head(f: jax.Array, width: int, name: str) -> jax.Array:
+            out = nn.Conv(
+                self.num_anchors * width, (1, 1), padding="VALID",
+                dtype=self.dtype, name=name,
+            )(f)
+            # NHWC -> rows (h, w, anchor): torch permutes NCHW->NHWC then
+            # reshapes (retina_face.py:15-18); NHWC makes that a plain reshape.
+            return out.reshape(out.shape[0], -1, width)
+
+        loc = jnp.concatenate(
+            [head(f, 4, f"BboxHead_{i}") for i, f in enumerate(features)], axis=1
+        )
+        conf = jnp.concatenate(
+            [head(f, 2, f"ClassHead_{i}") for i, f in enumerate(features)], axis=1
+        )
+        landms = jnp.concatenate(
+            [head(f, 10, f"LandmarkHead_{i}") for i, f in enumerate(features)], axis=1
+        )
+        conf = jax.nn.softmax(conf.astype(jnp.float32), axis=-1)
+        return loc, conf, landms

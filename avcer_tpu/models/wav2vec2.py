@@ -1,0 +1,177 @@
+"""Wav2Vec2 encoder (large-robust family) in Flax, features-last layout.
+
+The reference wraps HuggingFace's torch ``Wav2Vec2Model`` with the pretrained
+checkpoint ``audeering/wav2vec2-large-robust-12-ft-emotion-msp-dim``
+(/root/reference/src/get_prob_audio_8_cl.py:52-57, audio_8_cl.py:18-22).
+That model family is:
+
+- 7-layer conv feature extractor, layer-norm variant (LayerNorm after each
+  conv, exact GELU), strides (5,2,2,2,2,2,2), kernels (10,3,3,3,3,2,2),
+  512 channels, conv bias on
+- feature projection: LayerNorm -> Linear 512->1024
+- stable-layer-norm transformer encoder: grouped weight-normed positional
+  conv (kernel 128, groups 16), pre-LN layers (16 heads, FFN 4096, exact
+  GELU), final LayerNorm at the end — 12 layers in this checkpoint
+- no attention mask at inference (the reference never passes one)
+
+This is a from-scratch TPU implementation (bf16 matmuls, fp32 layernorm and
+softmax, conv feature extractor as XLA convs); parameter-name layout mirrors
+HF so the torch->jax converter is a transpose table. Parity is asserted
+against the torch implementation in tests/test_model_parity.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from avcer_tpu.models.layers import Dtype, gelu_exact, scaled_dot_attention
+
+
+@dataclass(frozen=True)
+class Wav2Vec2Config:
+    hidden_size: int = 1024
+    num_layers: int = 12
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    conv_dim: tuple[int, ...] = (512,) * 7
+    conv_stride: tuple[int, ...] = (5, 2, 2, 2, 2, 2, 2)
+    conv_kernel: tuple[int, ...] = (10, 3, 3, 3, 3, 2, 2)
+    conv_bias: bool = True
+    num_conv_pos_embeddings: int = 128
+    num_conv_pos_embedding_groups: int = 16
+    layer_norm_eps: float = 1e-5
+
+    def num_output_frames(self, num_samples: int) -> int:
+        n = num_samples
+        for k, s in zip(self.conv_kernel, self.conv_stride):
+            n = (n - k) // s + 1
+        return n
+
+
+class FeatureEncoder(nn.Module):
+    """Conv feature extractor, layer-norm variant. In: [B, T] -> [B, F, 512]."""
+
+    config: Wav2Vec2Config
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = x[..., None].astype(self.dtype)  # [B, T, 1]
+        for i, (dim, k, s) in enumerate(
+            zip(self.config.conv_dim, self.config.conv_kernel, self.config.conv_stride)
+        ):
+            h = nn.Conv(
+                dim, kernel_size=(k,), strides=(s,), padding="VALID",
+                use_bias=self.config.conv_bias, dtype=self.dtype,
+                name=f"conv_layers_{i}_conv",
+            )(h)
+            h = nn.LayerNorm(
+                epsilon=self.config.layer_norm_eps, dtype=jnp.float32,
+                name=f"conv_layers_{i}_layer_norm",
+            )(h).astype(self.dtype)
+            h = gelu_exact(h)
+        return h
+
+
+class FeatureProjection(nn.Module):
+    config: Wav2Vec2Config
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = nn.LayerNorm(
+            epsilon=self.config.layer_norm_eps, dtype=jnp.float32, name="layer_norm"
+        )(x).astype(self.dtype)
+        x = nn.Dense(self.config.hidden_size, dtype=self.dtype, name="projection")(x)
+        return nn.Dropout(0.1)(x, deterministic=deterministic)
+
+
+class PositionalConvEmbedding(nn.Module):
+    """Grouped conv positional embedding; weight norm is fused into the conv
+    weight at conversion time. Even kernel -> trim the trailing frame."""
+
+    config: Wav2Vec2Config
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.config.num_conv_pos_embeddings
+        h = nn.Conv(
+            self.config.hidden_size, kernel_size=(k,), padding=k // 2,
+            feature_group_count=self.config.num_conv_pos_embedding_groups,
+            dtype=self.dtype, name="conv",
+        )(x)
+        if k % 2 == 0:
+            h = h[:, :-1, :]
+        return gelu_exact(h)
+
+
+class EncoderLayerStableLN(nn.Module):
+    """Pre-LN transformer layer (HF Wav2Vec2EncoderLayerStableLayerNorm)."""
+
+    config: Wav2Vec2Config
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        c = self.config
+        head_dim = c.hidden_size // c.num_heads
+        residual = x
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="layer_norm")(
+            x
+        ).astype(self.dtype)
+        b, t = h.shape[0], h.shape[1]
+
+        def proj(name: str, inp: jax.Array) -> jax.Array:
+            y = nn.Dense(c.hidden_size, dtype=self.dtype, name=name)(inp)
+            return y.reshape(b, t, c.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        # HF scales q by head_dim**-0.5 before the matmul; mathematically the
+        # same as dividing the logits — we use the shared fp32-softmax op.
+        q = proj("attention_q_proj", h)
+        k = proj("attention_k_proj", h)
+        v = proj("attention_v_proj", h)
+        attn = scaled_dot_attention(q, k, v, dtype=self.dtype)
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, t, c.hidden_size)
+        attn = nn.Dense(c.hidden_size, dtype=self.dtype, name="attention_out_proj")(attn)
+        attn = nn.Dropout(0.1)(attn, deterministic=deterministic)
+        x = residual + attn
+
+        residual = x
+        h = nn.LayerNorm(
+            epsilon=c.layer_norm_eps, dtype=jnp.float32, name="final_layer_norm"
+        )(x).astype(self.dtype)
+        h = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate_dense")(h)
+        h = gelu_exact(h)
+        h = nn.Dropout(0.1)(h, deterministic=deterministic)
+        h = nn.Dense(c.hidden_size, dtype=self.dtype, name="output_dense")(h)
+        h = nn.Dropout(0.1)(h, deterministic=deterministic)
+        return residual + h
+
+
+class Wav2Vec2Encoder(nn.Module):
+    """Full model: raw waveform [B, T] -> hidden states [B, F, 1024]."""
+
+    config: Wav2Vec2Config = field(default_factory=Wav2Vec2Config)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, wav: jax.Array, deterministic: bool = True) -> jax.Array:
+        c = self.config
+        feats = FeatureEncoder(c, dtype=self.dtype, name="feature_extractor")(wav)
+        h = FeatureProjection(c, dtype=self.dtype, name="feature_projection")(
+            feats, deterministic
+        )
+        pos = PositionalConvEmbedding(c, dtype=self.dtype, name="pos_conv_embed")(h)
+        h = h + pos
+        h = nn.Dropout(0.1)(h, deterministic=deterministic)
+        for i in range(c.num_layers):
+            h = EncoderLayerStableLN(c, dtype=self.dtype, name=f"layers_{i}")(
+                h, deterministic
+            )
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="layer_norm")(h)
+        return h.astype(self.dtype)

@@ -1,0 +1,105 @@
+"""Image ops: nearest-neighbor crop+resize and model input normalization.
+
+Behavior contracts:
+
+- PIL NEAREST resize to 224x224        /root/reference/src/data/utils.py:32-34
+- RGB->BGR flip + VGGFace2 mean sub    /root/reference/src/data/utils.py:24-30
+- crop clamping                        /root/reference/src/data/get_face_images.py:53-56
+- RetinaFace mean subtraction          .../retina_face/retina_face_predictor.py:62-66
+
+Design: frames stay NHWC (TPU-native layout). The reference round-trips
+crops through JPEG files on disk and PIL on host per frame; here cropping and
+resizing are a single batched gather on device, fused into the jitted visual
+program — boxes are data, shapes are static.
+
+PIL NEAREST parity: PIL maps output pixel ``i`` to input pixel
+``floor((i + 0.5) * in / out)``; verified against PIL in
+tests/test_ops_image.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avcer_tpu.core import registry
+
+
+def nearest_indices(out_size: int, in_size: jax.Array | int) -> jax.Array:
+    """PIL-NEAREST source index for each output position (int32)."""
+    centers = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (
+        jnp.asarray(in_size, jnp.float32) / out_size
+    )
+    idx = jnp.floor(centers).astype(jnp.int32)
+    return jnp.clip(idx, 0, jnp.asarray(in_size, jnp.int32) - 1)
+
+
+def resize_nearest(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """PIL-NEAREST resize of an [H, W, C] (or [B, H, W, C]) image."""
+    h, w = img.shape[-3], img.shape[-2]
+    ri = nearest_indices(out_hw[0], h)
+    ci = nearest_indices(out_hw[1], w)
+    return img[..., ri[:, None], ci[None, :], :]
+
+
+def crop_and_resize_nearest(
+    frames: jax.Array,  # [B, H, W, C]
+    boxes: jax.Array,  # [B, 4] int32 (x1, y1, x2, y2), exclusive right/bottom
+    out_size: int = registry.FACE_INPUT_SIZE,
+) -> jax.Array:
+    """Batched crop + PIL-NEAREST resize as one gather, jit-friendly.
+
+    Equivalent to ``fr[y1:y2, x1:x2]`` followed by PIL NEAREST resize
+    (get_face_images.py:57, data/utils.py:32-34) but with boxes as runtime
+    data and a static output shape.
+    """
+    h, w = frames.shape[1], frames.shape[2]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    bh = jnp.maximum(y2 - y1, 1).astype(jnp.float32)  # [B]
+    bw = jnp.maximum(x2 - x1, 1).astype(jnp.float32)
+    pos = jnp.arange(out_size, dtype=jnp.float32) + 0.5  # [S]
+    rows = y1[:, None] + jnp.floor(pos[None, :] * bh[:, None] / out_size).astype(jnp.int32)
+    cols = x1[:, None] + jnp.floor(pos[None, :] * bw[:, None] / out_size).astype(jnp.int32)
+    rows = jnp.clip(rows, 0, h - 1)  # [B, S]
+    cols = jnp.clip(cols, 0, w - 1)
+    batch = jnp.arange(frames.shape[0])[:, None, None]
+    return frames[batch, rows[:, :, None], cols[:, None, :], :]
+
+
+def clamp_boxes(boxes: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Clamp float detector boxes to image bounds the way the reference does:
+    int cast, then start >= 0 and end <= size-1 (get_face_images.py:53-56)."""
+    b = boxes[:, :4].astype(np.int32).copy()
+    b[:, 0] = np.maximum(0, b[:, 0])
+    b[:, 1] = np.maximum(0, b[:, 1])
+    b[:, 2] = np.minimum(width - 1, b[:, 2])
+    b[:, 3] = np.minimum(height - 1, b[:, 3])
+    return b
+
+
+def vggface_normalize(crops_bgr: jax.Array) -> jax.Array:
+    """Emotion-CNN input normalization, NHWC BGR.
+
+    The reference converts BGR->RGB (cv2), resizes, PILToTensor, then flips
+    channels back to BGR and subtracts the VGGFace2 means
+    (data/utils.py:24-30 + get_prob_video.py:96-99). Net effect on an
+    already-BGR crop: subtract (91.4953, 103.8827, 131.0912) per (B, G, R).
+    """
+    mean = jnp.asarray(registry.VGGFACE2_BGR_MEAN, dtype=jnp.float32)
+    return crops_bgr.astype(jnp.float32) - mean
+
+
+def retinaface_normalize(frames_bgr: jax.Array) -> jax.Array:
+    """Detector input normalization, NHWC BGR: subtract (104, 117, 123)
+    (retina_face_predictor.py:62-66; the int cast there truncates uint8 data
+    that is already integral, so plain subtraction is exact)."""
+    mean = jnp.asarray(registry.RETINAFACE_BGR_MEAN, dtype=jnp.float32)
+    return frames_bgr.astype(jnp.float32) - mean
+
+
+def letterbox_params(h: int, w: int, long_side: int) -> tuple[int, int, float]:
+    """Target (new_h, new_w, scale) resizing so max(new_h, new_w) == long_side,
+    aspect preserved (framework addition: fixed detector input bucket)."""
+    scale = long_side / max(h, w)
+    return max(1, round(h * scale)), max(1, round(w * scale)), scale

@@ -1,0 +1,114 @@
+"""Activation parity: torch reference twins (random weights) -> converter ->
+avcer_tpu Flax models. Passing these is the load-correctness guarantee for
+the published checkpoints (SURVEY.md §7 hard part #1)."""
+
+import numpy as np
+import pytest
+import torch
+import jax.numpy as jnp
+
+from avcer_tpu.core import convert
+from avcer_tpu.models.attention import TransformerLayer
+from avcer_tpu.models.audio_heads import ExprModel
+from avcer_tpu.models.emotion_resnet import EmotionResNet50
+from avcer_tpu.models.retinaface import RetinaFace
+from avcer_tpu.models.temporal_lstm import TemporalLSTM
+from avcer_tpu.models.wav2vec2 import Wav2Vec2Config
+
+import torch_twins as twins
+
+torch.manual_seed(0)
+
+
+def randomize_state(model: torch.nn.Module, scale: float = 0.05) -> None:
+    """Random weights AND random running stats so BN conversion is exercised."""
+    sd = model.state_dict()
+    g = torch.Generator().manual_seed(42)
+    for k, v in sd.items():
+        if v.dtype.is_floating_point:
+            if k.endswith("running_var"):
+                sd[k] = torch.rand(v.shape, generator=g) + 0.5
+            elif k.endswith("running_mean"):
+                sd[k] = torch.randn(v.shape, generator=g) * 0.1
+            else:
+                sd[k] = torch.randn(v.shape, generator=g) * scale
+    model.load_state_dict(sd)
+
+
+@pytest.mark.slow
+def test_emotion_resnet50_parity(rng):
+    tw = twins.TwinEmotionResNet50(7).eval()
+    randomize_state(tw)
+    x = rng.normal(size=(2, 3, 224, 224)).astype(np.float32) * 3
+    with torch.no_grad():
+        want_logits, want_feat = tw(torch.from_numpy(x))
+
+    variables = convert.convert_emotion_resnet50(tw.state_dict())
+    model = EmotionResNet50(num_classes=7, dtype=jnp.float32)
+    got_logits, got_feat = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(got_feat), want_feat.numpy(), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_logits), want_logits.numpy(), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_temporal_lstm_parity(rng):
+    tw = twins.TwinTemporalLSTM(7).eval()
+    randomize_state(tw, scale=0.3)
+    x = rng.normal(size=(3, 10, 512)).astype(np.float32)
+    with torch.no_grad():
+        want = tw(torch.from_numpy(x)).numpy()
+    variables = convert.convert_temporal_lstm(tw.state_dict())
+    got = TemporalLSTM(7, dtype=jnp.float32).apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-4)
+
+
+def test_transformer_layer_parity(rng):
+    tw = twins.TwinTransformerLayer(64, 8).eval()
+    randomize_state(tw, scale=0.2)
+    x = rng.normal(size=(2, 17, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tw(torch.from_numpy(x)).numpy()
+    t = convert._Tree()
+    convert._convert_transformer_layer(t, tw.state_dict(), "", "tl")
+    variables = {"params": t.params["tl"]}
+    got = TransformerLayer(64, 8, dtype=jnp.float32).apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("variant", ["v1", "v3"])
+def test_expr_model_parity(rng, variant):
+    tw = twins.TwinExprModel(variant=variant, num_classes=8, num_layers=2).eval()
+    randomize_state(tw, scale=0.05)
+    x = rng.normal(size=(2, 17000)).astype(np.float32)
+    with torch.no_grad():
+        want = tw(torch.from_numpy(x)).numpy()
+
+    variables = convert.convert_expr_model(tw.state_dict(), variant=variant, num_layers=2)
+    model = ExprModel(
+        variant=variant,
+        num_classes=8,
+        wav2vec2_config=Wav2Vec2Config(num_layers=2),
+        dtype=jnp.float32,
+    )
+    got = model.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_retinaface_parity(rng):
+    tw = twins.TwinRetinaFace().eval()
+    randomize_state(tw, scale=0.05)
+    x = rng.normal(size=(1, 3, 128, 160)).astype(np.float32) * 20
+    with torch.no_grad():
+        want_loc, want_conf, want_landms = tw(torch.from_numpy(x))
+
+    variables = convert.convert_retinaface(tw.state_dict())
+    model = RetinaFace(backbone="resnet50", dtype=jnp.float32)
+    loc, conf, landms = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(loc), want_loc.numpy(), atol=3e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(conf), want_conf.numpy(), atol=3e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(landms), want_landms.numpy(), atol=3e-4, rtol=1e-3)

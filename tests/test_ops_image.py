@@ -1,0 +1,64 @@
+"""Image op parity: PIL NEAREST resize, crop+resize gather, normalizations."""
+
+import numpy as np
+import jax.numpy as jnp
+from PIL import Image
+
+from avcer_tpu.core import registry
+from avcer_tpu.ops import image as img_ops
+
+
+def pil_nearest(arr: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    return np.asarray(Image.fromarray(arr).resize(size, Image.Resampling.NEAREST))
+
+
+def test_resize_nearest_matches_pil(rng):
+    for h, w in [(37, 53), (224, 224), (300, 180), (17, 500)]:
+        arr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        want = pil_nearest(arr, (224, 224))
+        got = np.asarray(img_ops.resize_nearest(jnp.asarray(arr), (224, 224)))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_crop_and_resize_matches_pil_crop_then_resize(rng):
+    h, w = 240, 320
+    frames = rng.integers(0, 255, size=(4, h, w, 3), dtype=np.uint8)
+    boxes = np.array(
+        [[10, 20, 110, 140], [0, 0, 320, 240], [100, 50, 101, 51], [5, 7, 200, 239]],
+        dtype=np.int32,
+    )
+    got = np.asarray(
+        img_ops.crop_and_resize_nearest(jnp.asarray(frames), jnp.asarray(boxes), 224)
+    )
+    for i, (x1, y1, x2, y2) in enumerate(boxes):
+        crop = frames[i, y1:y2, x1:x2]
+        want = pil_nearest(crop, (224, 224))
+        np.testing.assert_array_equal(got[i], want)
+
+
+def test_clamp_boxes():
+    b = np.array([[-5.2, -3.0, 700.9, 500.1]], dtype=np.float32)
+    got = img_ops.clamp_boxes(b, width=640, height=480)
+    np.testing.assert_array_equal(got, [[0, 0, 639, 479]])
+
+
+def test_vggface_normalize_matches_reference_math(rng):
+    """Reference chain (data/utils.py:19-39): BGR crop -> RGB -> PIL resize ->
+    tensor -> channel flip back to BGR -> subtract means. Our op: BGR resize
+    -> subtract means. The two must agree exactly."""
+    crop_bgr = rng.integers(0, 255, size=(64, 80, 3), dtype=np.uint8)
+    rgb = crop_bgr[..., ::-1]
+    resized_rgb = pil_nearest(rgb, (224, 224)).astype(np.float32)
+    chw = resized_rgb.transpose(2, 0, 1)[::-1]  # flip channels -> BGR, CHW
+    want = chw.copy()
+    for c, m in enumerate(registry.VGGFACE2_BGR_MEAN):
+        want[c] -= m
+
+    resized_bgr = img_ops.resize_nearest(jnp.asarray(crop_bgr), (224, 224))
+    got = np.asarray(img_ops.vggface_normalize(resized_bgr)).transpose(2, 0, 1)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_letterbox_params():
+    nh, nw, s = img_ops.letterbox_params(720, 1280, 640)
+    assert (nh, nw) == (360, 640) and abs(s - 0.5) < 1e-9
