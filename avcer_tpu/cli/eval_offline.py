@@ -1,0 +1,94 @@
+"""Offline multi-corpus evaluation CLI — get_pred_{av,video,audio}.py
+equivalent.
+
+Reads per-video prediction caches (the CSVs the pipeline writes), aligns
+them with per-frame annotation files, optionally optimizes fusion weights on
+the validation corpus (Dirichlet 10k + 3-way grid, get_pred_av.py:391-406),
+computes UAR/Acc/F1/precision with confusion-matrix artifacts, and writes
+C-EXPR-DB challenge txts per rule combination.
+
+Layout expectations (mirroring the reference's cache trees):
+  <preds_root>/video/{static__NAME.csv, dynamic__NAME.csv}
+  <preds_root>/audio/NAME.csv
+  <ann_root>/NAME.csv  with a per-frame label column (default "Neutral",
+  matching the reference's annotation frames, get_pred_av.py:107)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from avcer_tpu.core import registry
+from avcer_tpu.fusion import offline_eval, weight_search
+
+
+def gather_corpus(ann_root: str, preds_root: str, label_col: str = "Neutral"):
+    import pandas as pd
+
+    trues, stats, dyns, audios = [], [], [], []
+    for ann in sorted(os.listdir(ann_root)):
+        if not ann.endswith(".csv"):
+            continue
+        name = ann[:-4]
+        stat_p = os.path.join(preds_root, "video", f"static__{name}.csv")
+        dyn_p = os.path.join(preds_root, "video", f"dynamic__{name}.csv")
+        audio_p = os.path.join(preds_root, "audio", f"{name}.csv")
+        if not (os.path.exists(stat_p) and os.path.exists(dyn_p) and os.path.exists(audio_p)):
+            continue
+        labels = pd.read_csv(os.path.join(ann_root, ann))[label_col].values
+        stat, dyn = offline_eval.load_video_csvs(stat_p, dyn_p)
+        audio = offline_eval.load_audio_csv(audio_p)
+        a = offline_eval.align_video(labels, stat, dyn, audio)
+        trues.append(a.trues)
+        stats.append(a.stat)
+        dyns.append(a.dyn)
+        audios.append(a.audio)
+    if not trues:
+        raise FileNotFoundError("no aligned videos found")
+    return (
+        np.concatenate(trues),
+        np.concatenate(stats),
+        np.concatenate(dyns),
+        np.concatenate(audios),
+    )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="avcer-tpu offline evaluation")
+    p.add_argument("--ann_root", required=True)
+    p.add_argument("--preds_root", required=True)
+    p.add_argument("--save_root", default="report/offline_eval")
+    p.add_argument("--corpus", default="ABAW")
+    p.add_argument("--optimize_weights", action="store_true")
+    p.add_argument("--num_dirichlet", type=int, default=10_000)
+    a = p.parse_args(argv)
+
+    trues, stat, dyn, audio = gather_corpus(a.ann_root, a.preds_root)
+    aligned = offline_eval.AlignedPredictions(trues, stat, dyn, audio)
+
+    if a.optimize_weights:
+        w1, best = weight_search.search_dirichlet(
+            trues, [stat, dyn, audio], num_weights=a.num_dirichlet, seed=42
+        )
+        w2, best_grid = weight_search.search_grid(trues, [stat, dyn, audio])
+        print(json.dumps({"dirichlet_uar": best, "grid_uar": best_grid,
+                          "grid_weights": w2}))
+    else:
+        w1 = registry.AV_WEIGHTS_8CL
+        w2 = [1.0, 1.0, 1.0]
+
+    res = offline_eval.evaluate_fusion(
+        aligned, np.asarray(w1), tuple(w2) if len(w2) == 3 else (1, 1, 1),
+        corpus=a.corpus, save_root=a.save_root,
+    )
+    printable = {k: (v.tolist() if isinstance(v, np.ndarray) else v) for k, v in res.items()}
+    print(json.dumps(printable, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,40 @@
+"""CLI entry point: ``python -m avcer_tpu.cli.run --path_video V --path_save S``.
+
+Public-surface parity with /root/reference/src/run.py:13-22 (same two core
+flags, same outputs, same final real-time-factor printout, run.py:306-308)
+plus framework knobs (detector bucket, mesh size, weight dir).
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+from avcer_tpu.core.config import PipelineConfig, pipeline_config_from_args
+from avcer_tpu.pipeline.builder import build_pipeline
+
+log = logging.getLogger("avcer_tpu")
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
+    cfg, path_video, path_save = pipeline_config_from_args(argv)
+    # flagship defaults match the reference __main__ (run.py:346-355):
+    # published Dirichlet weights + Rule 1 masking
+    pipe = build_pipeline(cfg)
+
+    print(f"Face images detection in video: {path_video}")
+    clip = pipe.run(path_video, path_save)
+    print("Compound expression prediction")
+    rtf = clip.rtf
+    for stage, sec in clip.timings.items():
+        print(f"  {stage}: {sec:.3f}s")
+    print(f"Real-time factor for compound expression prediction: {rtf:.2f}")
+    print(
+        f"Throughput: {clip.total_frames / max(clip.fps, 1) / max(sum(clip.timings.values()), 1e-9):.2f} video-sec/sec"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

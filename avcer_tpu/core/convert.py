@@ -216,15 +216,15 @@ def convert_wav2vec2(sd: StateDict, prefix: str = "wav2vec2.", num_layers: int =
 
 
 def _convert_transformer_layer(t: _Tree, sd: StateDict, tp: str, fp: str) -> None:
-    sa = f"{tp}.self_attention"
+    pre = f"{tp}." if tp else ""
     for w in ("query_w", "keys_w", "values_w", "ff_layer_after_concat"):
-        t.p(f"{fp}/self_attention/{w}", _dense(sd, f"{sa}.{w}", bias=False))
+        t.p(f"{fp}/self_attention/{w}", _dense(sd, f"{pre}self_attention.{w}", bias=False))
     t.p(f"{fp}/add_norm_after_attention/layer_norm",
-        _ln(sd, f"{tp}.add_norm_after_attention.layer_norm"))
+        _ln(sd, f"{pre}add_norm_after_attention.layer_norm"))
     t.p(f"{fp}/add_norm_after_ff/layer_norm",
-        _ln(sd, f"{tp}.add_norm_after_ff.layer_norm"))
-    t.p(f"{fp}/feed_forward/layer_1", _dense(sd, f"{tp}.feed_forward.layer_1"))
-    t.p(f"{fp}/feed_forward/layer_2", _dense(sd, f"{tp}.feed_forward.layer_2"))
+        _ln(sd, f"{pre}add_norm_after_ff.layer_norm"))
+    t.p(f"{fp}/feed_forward/layer_1", _dense(sd, f"{pre}feed_forward.layer_1"))
+    t.p(f"{fp}/feed_forward/layer_2", _dense(sd, f"{pre}feed_forward.layer_2"))
 
 
 def convert_expr_model(sd: StateDict, variant: str = "v3", num_layers: int = 12) -> dict[str, Any]:
@@ -335,6 +335,34 @@ def convert_retinaface(sd: StateDict, backbone: str = "resnet50") -> dict[str, A
 
 
 # ---------------------------------------------------------------------------
+# 5. S3FD
+# ---------------------------------------------------------------------------
+
+
+def convert_s3fd(sd: StateDict) -> dict[str, Any]:
+    """S3FD ``s3fd_weights.pth`` -> Flax variables (names per s3fd_net.py)."""
+    sd = {re.sub(r"^module\.", "", k): v for k, v in sd.items()}
+    t = _Tree()
+    vgg_conv_idx = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28, 30, 32)
+    # torch ModuleList indices of convs: 0,2,5,7,10,12,14,17,19,21,24,26,28,30,32
+    # our names reuse the torch index except fc6/fc7 (30->31 naming quirk
+    # avoided: we named them vgg_31/vgg_33 after the reference's relu slots)
+    name_map = {30: "vgg_31", 32: "vgg_33"}
+    for i in vgg_conv_idx:
+        if f"vgg.{i}.weight" not in sd:
+            continue
+        t.p(name_map.get(i, f"vgg_{i}"), _conv2d(sd, f"vgg.{i}", bias=True))
+    for norm in ("L2Norm3_3", "L2Norm4_3", "L2Norm5_3"):
+        t.p(norm, {"weight": _np(sd[f"{norm}.weight"])})
+    for i in range(4):
+        t.p(f"extras_{i}", _conv2d(sd, f"extras.{i}", bias=True))
+    for i in range(6):
+        t.p(f"loc_{i}", _conv2d(sd, f"loc.{i}", bias=True))
+        t.p(f"conf_{i}", _conv2d(sd, f"conf.{i}", bias=True))
+    return t.variables()
+
+
+# ---------------------------------------------------------------------------
 # Checkpoint IO helpers
 # ---------------------------------------------------------------------------
 
@@ -357,4 +385,5 @@ CONVERTERS: dict[str, Callable[..., dict[str, Any]]] = {
     "temporal_lstm": convert_temporal_lstm,
     "expr_model": convert_expr_model,
     "retinaface": convert_retinaface,
+    "s3fd": convert_s3fd,
 }

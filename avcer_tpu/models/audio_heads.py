@@ -129,17 +129,18 @@ class ExprModel(nn.Module):
         h = Wav2Vec2Encoder(self.wav2vec2_config, dtype=self.dtype, name="wav2vec2")(
             wav, deterministic=deterministic
         )
+        hidden = self.wav2vec2_config.hidden_size  # 1024 for the reference models
         if self.variant == "v1":
             h = GRUTorch(256, num_layers=2, dtype=self.dtype, name="gru")(h)
             f_size = 256
         elif self.variant in ("v2", "v3"):
-            h = TransformerLayer(1024, 32, dtype=self.dtype, name="tl1")(
+            h = TransformerLayer(hidden, 32, dtype=self.dtype, name="tl1")(
                 h, deterministic=deterministic
             )
-            h = TransformerLayer(1024, 16, dtype=self.dtype, name="tl2")(
+            h = TransformerLayer(hidden, 16, dtype=self.dtype, name="tl2")(
                 h, deterministic=deterministic
             )
-            f_size = 1024
+            f_size = hidden
         else:
             raise ValueError(f"unknown variant {self.variant!r}")
         pooled = TimeDownsample(f_size, dtype=self.dtype, name="time_downsample")(

@@ -93,8 +93,8 @@ class EmotionResNet50(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, train: bool = False
-    ) -> tuple[jax.Array, jax.Array]:
+        self, x: jax.Array, train: bool = False, return_act4: bool = False
+    ):
         x = x.astype(self.dtype)
         h, w = x.shape[1], x.shape[2]
         ph, pw = same_pad(h, 7, 2), same_pad(w, 7, 2)
@@ -124,4 +124,8 @@ class EmotionResNet50(nn.Module):
         feat_pre = nn.Dense(512, dtype=self.dtype, name="fc1")(pooled)
         features = nn.relu(feat_pre)
         logits = nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(features)
+        if return_act4:
+            # layer4 output, for Grad-CAM (get_prob_video.py:47-48 harvests it
+            # with hooks; here it is just a second output)
+            return logits, features, h_
         return logits, features

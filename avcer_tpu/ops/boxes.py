@@ -77,16 +77,18 @@ def decode_landmarks(pre: jax.Array, priors: jax.Array) -> jax.Array:
     return out.reshape(*pre.shape[:-1], 10)
 
 
-def iou_matrix_legacy(boxes: jax.Array) -> jax.Array:
-    """Pairwise IoU with the legacy +1 pixel convention used by the
-    reference's NMS (py_cpu_nms.py:19-33). boxes: [..., K, 4] xyxy."""
+def iou_matrix_legacy(boxes: jax.Array, plus_one: bool = True) -> jax.Array:
+    """Pairwise IoU. With ``plus_one`` uses the legacy +1 pixel convention of
+    the RetinaFace NMS (py_cpu_nms.py:19-33); without it matches the S3FD
+    NMS (s3fd/utils.py:96-128). boxes: [..., K, 4] xyxy."""
+    off = 1.0 if plus_one else 0.0
     x1, y1, x2, y2 = (boxes[..., i] for i in range(4))
-    areas = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)  # [..., K]
+    areas = (x2 - x1 + off) * (y2 - y1 + off)  # [..., K]
     xx1 = jnp.maximum(x1[..., :, None], x1[..., None, :])
     yy1 = jnp.maximum(y1[..., :, None], y1[..., None, :])
     xx2 = jnp.minimum(x2[..., :, None], x2[..., None, :])
     yy2 = jnp.minimum(y2[..., :, None], y2[..., None, :])
-    w = jnp.maximum(0.0, xx2 - xx1 + 1.0)
-    h = jnp.maximum(0.0, yy2 - yy1 + 1.0)
+    w = jnp.maximum(0.0, xx2 - xx1 + off)
+    h = jnp.maximum(0.0, yy2 - yy1 + off)
     inter = w * h
     return inter / (areas[..., :, None] + areas[..., None, :] - inter)

@@ -26,13 +26,27 @@ import numpy as np
 from avcer_tpu.core import registry
 
 
-def nearest_indices(out_size: int, in_size: jax.Array | int) -> jax.Array:
-    """PIL-NEAREST source index for each output position (int32)."""
-    centers = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (
-        jnp.asarray(in_size, jnp.float32) / out_size
-    )
-    idx = jnp.floor(centers).astype(jnp.int32)
-    return jnp.clip(idx, 0, jnp.asarray(in_size, jnp.int32) - 1)
+def nearest_indices_np(out_size: int, in_size: int) -> np.ndarray:
+    """PIL-NEAREST source index per output position (int32), bit-exact.
+
+    Pillow's NEAREST resize walks the source coordinate INCREMENTALLY in
+    float64 (``x = scale/2; x += scale`` per output pixel) and floors it, so
+    exact rational boundaries resolve according to accumulated rounding
+    error, not ``floor((i+0.5)*in/out)``. Verified bit-exact against PIL in
+    tests/test_ops_image.py across up/down-sampling ratios.
+    """
+    scale = in_size / out_size
+    idx = np.empty(out_size, np.int32)
+    x = scale / 2.0
+    for i in range(out_size):
+        idx[i] = int(np.floor(x))
+        x += scale
+    return np.clip(idx, 0, in_size - 1)
+
+
+def nearest_indices(out_size: int, in_size: int) -> jax.Array:
+    """Device-side constant of nearest_indices_np (shapes are static)."""
+    return jnp.asarray(nearest_indices_np(out_size, in_size))
 
 
 def resize_nearest(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
@@ -52,15 +66,18 @@ def crop_and_resize_nearest(
 
     Equivalent to ``fr[y1:y2, x1:x2]`` followed by PIL NEAREST resize
     (get_face_images.py:57, data/utils.py:32-34) but with boxes as runtime
-    data and a static output shape.
+    data and a static output shape. Index math is exact rational
+    ``floor(((2i+1) * box) / (2 * out))`` in int32 — it can differ from PIL
+    by one source pixel only where the product lands exactly on an integer
+    and PIL's float64 rounding falls below it.
     """
     h, w = frames.shape[1], frames.shape[2]
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    bh = jnp.maximum(y2 - y1, 1).astype(jnp.float32)  # [B]
-    bw = jnp.maximum(x2 - x1, 1).astype(jnp.float32)
-    pos = jnp.arange(out_size, dtype=jnp.float32) + 0.5  # [S]
-    rows = y1[:, None] + jnp.floor(pos[None, :] * bh[:, None] / out_size).astype(jnp.int32)
-    cols = x1[:, None] + jnp.floor(pos[None, :] * bw[:, None] / out_size).astype(jnp.int32)
+    bh = jnp.maximum(y2 - y1, 1).astype(jnp.int32)  # [B]
+    bw = jnp.maximum(x2 - x1, 1).astype(jnp.int32)
+    two_i_plus_1 = 2 * jnp.arange(out_size, dtype=jnp.int32) + 1  # [S]
+    rows = y1[:, None] + (two_i_plus_1[None, :] * bh[:, None]) // (2 * out_size)
+    cols = x1[:, None] + (two_i_plus_1[None, :] * bw[:, None]) // (2 * out_size)
     rows = jnp.clip(rows, 0, h - 1)  # [B, S]
     cols = jnp.clip(cols, 0, w - 1)
     batch = jnp.arange(frames.shape[0])[:, None, None]

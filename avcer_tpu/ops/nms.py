@@ -26,16 +26,17 @@ import jax.numpy as jnp
 from avcer_tpu.ops.boxes import iou_matrix_legacy
 
 
-@functools.partial(jax.jit, static_argnames=("iou_thresh",))
+@functools.partial(jax.jit, static_argnames=("iou_thresh", "plus_one"))
 def nms_mask(
     boxes: jax.Array,  # [B, K, 4] xyxy, sorted by descending score per row
     valid: jax.Array,  # [B, K] bool, False for padding / below-threshold rows
     iou_thresh: float = 0.4,
+    plus_one: bool = True,
 ) -> jax.Array:
     """Greedy suppression mask, True = kept. Matches py_cpu_nms semantics:
     strict ``iou > thresh`` suppresses (the reference keeps ``ovr <= thresh``,
-    py_cpu_nms.py:35)."""
-    iou = iou_matrix_legacy(boxes)  # [B, K, K]
+    py_cpu_nms.py:35). ``plus_one=False`` gives the S3FD IoU convention."""
+    iou = iou_matrix_legacy(boxes, plus_one=plus_one)  # [B, K, K]
     k = boxes.shape[-2]
 
     def body(i: jax.Array, keep: jax.Array) -> jax.Array:
@@ -54,18 +55,18 @@ def topk_candidates(
     scores: jax.Array,  # [B, A]
     k: int,
     score_thresh: float,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Select the top-k candidates per frame above ``score_thresh``.
 
-    Returns (boxes [B,k,4], scores [B,k], valid [B,k]) sorted by descending
-    score — the same ordering the reference's argsort produces
+    Returns (boxes [B,k,4], scores [B,k], valid [B,k], idx [B,k]) sorted by
+    descending score — the same ordering the reference's argsort produces
     (py_cpu_nms.py:20). jnp.top_k ties resolve by lower index, matching
     numpy's stable descending slice of an ascending argsort for exact ties.
     """
     top_scores, idx = jax.lax.top_k(scores, k)  # [B, k]
     top_boxes = jnp.take_along_axis(boxes, idx[..., None], axis=1)
     valid = top_scores > score_thresh
-    return top_boxes, top_scores, valid
+    return top_boxes, top_scores, valid, idx
 
 
 @functools.partial(jax.jit, static_argnames=("k", "score_thresh", "iou_thresh"))
@@ -82,6 +83,6 @@ def batched_nms(
     treat ``keep`` as the validity mask. Replaces the device->host round trip
     + Python loop at retina_face_predictor.py:76-109.
     """
-    cand_boxes, cand_scores, valid = topk_candidates(boxes, scores, k, score_thresh)
+    cand_boxes, cand_scores, valid, _ = topk_candidates(boxes, scores, k, score_thresh)
     keep = nms_mask(cand_boxes, valid, iou_thresh)
     return cand_boxes, cand_scores, keep

@@ -1,0 +1,93 @@
+"""Audio emotion stage: sliding windows -> one batched jitted forward.
+
+Replaces the reference's per-window host loop
+(/root/reference/src/get_prob_audio_8_cl.py:78-101): every 4 s / 0.5 s-step
+window of the clip is extracted into one [W, 64000] batch on host (padding
+modes mean/constant/repeat per data/utils.py:63-89), the HF feature-extractor
+normalization is fused into the device program, and the wav2vec2 + head model
+runs over the whole batch at once (sub-batched to a fixed shape).
+
+Window -> frame replication and the groupby-mean across overlaps
+(get_prob_audio_8_cl.py:94-101 + run.py:90) are represented as index arrays
+consumed by ops.fusion.segment_mean_by_frame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avcer_tpu.core.config import AudioConfig
+from avcer_tpu.models.audio_heads import ExprModel
+from avcer_tpu.models.wav2vec2 import Wav2Vec2Config
+from avcer_tpu.ops import audio as audio_ops
+
+
+@dataclass
+class AudioWindows:
+    batch: np.ndarray  # [W, window_samples] float32 (not yet normalized)
+    spans: list[tuple[int, int]]  # sample spans
+    frame_ids: np.ndarray  # [R] replicated frame index per row
+    window_of_row: np.ndarray  # [R] window index per row
+
+
+def make_windows(wav: np.ndarray, cfg: AudioConfig, fps: float) -> AudioWindows:
+    window = int(cfg.window_sec * cfg.sample_rate)
+    step = int(cfg.step_sec * cfg.sample_rate)
+    batch = audio_ops.extract_windows(wav, window, step, cfg.padding)
+    spans = audio_ops.enumerate_windows(len(wav), window, step)
+    frame_ids, window_of_row = [], []
+    for wi, (s, e) in enumerate(spans):
+        names = audio_ops.window_frame_names(s, e, cfg.sample_rate, fps)
+        frame_ids.extend(names)
+        window_of_row.extend([wi] * len(names))
+    return AudioWindows(
+        batch=batch,
+        spans=spans,
+        frame_ids=np.asarray(frame_ids, np.int64),
+        window_of_row=np.asarray(window_of_row, np.int64),
+    )
+
+
+class AudioStage:
+    def __init__(
+        self,
+        variables: dict[str, Any],
+        cfg: AudioConfig,
+        wav2vec2_config: Wav2Vec2Config | None = None,
+        dtype=jnp.bfloat16,
+    ):
+        self.cfg = cfg
+        self.model = ExprModel(
+            variant=cfg.head,
+            num_classes=cfg.num_classes,
+            wav2vec2_config=wav2vec2_config or Wav2Vec2Config(),
+            dtype=dtype,
+        )
+        self.variables = variables
+        self._jit_forward = jax.jit(self._forward_impl)
+
+    def _forward_impl(self, variables: dict, windows: jax.Array) -> jax.Array:
+        x = audio_ops.feature_extractor_normalize(windows)
+        return self.model.apply(variables, x).astype(jnp.float32)
+
+    def run(self, windows: AudioWindows) -> np.ndarray:
+        """[W, L] -> [W, num_classes] raw logits. All batches dispatch before
+        the first fetch (device compute overlaps transfers)."""
+        batch = windows.batch
+        w = batch.shape[0]
+        bs = self.cfg.batch_size
+        handles = []
+        for s in range(0, w, bs):
+            chunk = batch[s : s + bs]
+            n = chunk.shape[0]
+            if n < bs:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
+            handles.append((self._jit_forward(self.variables, jnp.asarray(chunk)), n))
+        if not handles:
+            return np.zeros((0, self.cfg.num_classes), np.float32)
+        return np.concatenate([np.asarray(h)[:n] for h, n in handles])

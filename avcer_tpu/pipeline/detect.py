@@ -1,0 +1,116 @@
+"""Face detection stage: one jitted program per static input shape.
+
+Replaces the reference's per-frame host loop (get_face_images.py:38-63 +
+retina_face_predictor.py:59-109): normalize -> RetinaFace -> decode ->
+scale -> fixed-K NMS, all on device, batched over frames. Only the tracker
+(sequential) stays on host.
+
+Two input modes (DetectorConfig.long_side):
+- bucket mode (default): frames are letterbox-resized on host so the long
+  side is fixed; one compiled program serves every video.
+- native mode (long_side=0): frames are padded up to a multiple of 32; the
+  anchor grid matches the reference's native-resolution run.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avcer_tpu.core.config import DetectorConfig
+from avcer_tpu.ops import boxes as box_ops
+from avcer_tpu.ops import nms as nms_ops
+from avcer_tpu.ops.image import letterbox_params, retinaface_normalize
+from avcer_tpu.models.retinaface import RetinaFace
+
+
+@dataclass
+class Detections:
+    """Fixed-shape per-batch detections (native-resolution pixel coords)."""
+
+    boxes: np.ndarray  # [B, K, 4] float32 xyxy
+    scores: np.ndarray  # [B, K]
+    keep: np.ndarray  # [B, K] bool
+    landmarks: np.ndarray  # [B, K, 10]
+
+
+class DetectStage:
+    def __init__(self, cfg: DetectorConfig, variables: dict[str, Any], dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.model = RetinaFace(backbone=cfg.backbone, dtype=dtype)
+        self.variables = variables
+        self._jit_forward = jax.jit(self._forward_impl)
+
+    def _forward_impl(self, variables: dict, frames: jax.Array) -> jax.Array:
+        """frames: [B, H, W, 3] uint8 BGR (already resized/padded).
+
+        Returns ONE packed [B, K, 16] float32 array (boxes 0:4, score 4,
+        keep 5, landmarks 6:16) — a single fused device->host transfer per
+        batch instead of four (transfer latency through the PJRT tunnel
+        dominates small fetches)."""
+        h, w = frames.shape[1], frames.shape[2]
+        x = retinaface_normalize(frames)
+        loc, conf, landms = self.model.apply(variables, x)
+        priors = jnp.asarray(box_ops.prior_boxes((h, w)))
+        scale = jnp.asarray([w, h, w, h], jnp.float32)
+        boxes = box_ops.decode_boxes(loc.astype(jnp.float32), priors) * scale
+        scores = conf[..., 1]
+        lscale = jnp.tile(jnp.asarray([w, h], jnp.float32), 5)
+        landms = box_ops.decode_landmarks(landms.astype(jnp.float32), priors) * lscale
+        k = min(self.cfg.nms_candidates, 64)
+        cand_boxes, cand_scores, valid, idx = nms_ops.topk_candidates(
+            boxes, scores, k, self.cfg.threshold
+        )
+        keep = nms_ops.nms_mask(cand_boxes, valid, self.cfg.nms_thresh)
+        cand_landms = jnp.take_along_axis(landms, idx[..., None], axis=1)
+        return jnp.concatenate(
+            [cand_boxes, cand_scores[..., None],
+             keep.astype(jnp.float32)[..., None], cand_landms], axis=-1,
+        )
+
+    def prepare_batch(self, frames: np.ndarray) -> tuple[np.ndarray, float]:
+        """Host prep: letterbox to the configured bucket (or pad to /32).
+        Returns (device_input, scale) with scale mapping bucket -> native."""
+        import cv2
+
+        b, h, w = frames.shape[:3]
+        if self.cfg.long_side > 0:
+            nh, nw, scale = letterbox_params(h, w, self.cfg.long_side)
+            if (nh, nw) != (h, w):
+                out = np.empty((b, nh, nw, 3), dtype=frames.dtype)
+                for i in range(b):
+                    out[i] = cv2.resize(frames[i], (nw, nh), interpolation=cv2.INTER_LINEAR)
+                frames = out
+            return frames, scale
+        pad_h = (-h) % 32
+        pad_w = (-w) % 32
+        if pad_h or pad_w:
+            frames = np.pad(frames, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        return frames, 1.0
+
+    def dispatch(self, frames: np.ndarray) -> tuple[jax.Array, float]:
+        """Async: enqueue detection for a batch, return (device packed
+        result, scale). Does NOT block on the device."""
+        prepped, scale = self.prepare_batch(frames)
+        packed = self._jit_forward(self.variables, jnp.asarray(prepped))
+        return packed, scale
+
+    @staticmethod
+    def unpack(packed_np: np.ndarray, scale: float) -> Detections:
+        inv = 1.0 / scale
+        return Detections(
+            boxes=packed_np[..., 0:4] * inv,
+            scores=packed_np[..., 4],
+            keep=packed_np[..., 5] > 0.5,
+            landmarks=packed_np[..., 6:16] * inv,
+        )
+
+    def __call__(self, frames: np.ndarray) -> Detections:
+        """frames: [B, H, W, 3] uint8 BGR at native resolution (sync API)."""
+        packed, scale = self.dispatch(frames)
+        return self.unpack(np.asarray(packed, np.float32), scale)

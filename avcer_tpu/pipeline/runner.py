@@ -1,0 +1,287 @@
+"""End-to-end clip inference: detect -> visual -> audio -> fuse -> report.
+
+The TPU restatement of run_inference (/root/reference/src/run.py:192-308).
+Differences by design (SURVEY.md §7):
+
+- frames flow detect -> crop -> CNN in memory as fixed-shape batches; the
+  reference's JPEG round trip through the filesystem
+  (get_face_images.py:57-60 -> get_prob_video.py:95) is an optional
+  output-parity artifact (``save_face_crops``), not a pipeline stage. Crops
+  here are lossless (no JPEG re-compression).
+- JAX dispatch is asynchronous: the detector batch N+1 is enqueued while the
+  host crops batch N, so decode/track/crop overlap device compute.
+- all three model stages are bf16 batched programs; only the IoU tracker and
+  index bookkeeping run on host.
+
+Public surface parity: per-frame VS/VD probability CSVs (video order,
+get_prob_video.py:182-202), audio window CSV (fusion order + frames column,
+get_prob_audio_8_cl.py:125-136), compound txt + plot + RTF printout
+(run.py:167-188, 288-308).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+from avcer_tpu.core import registry
+from avcer_tpu.core.config import PipelineConfig
+from avcer_tpu.fusion import compound as compound_mod
+from avcer_tpu.pipeline import media
+from avcer_tpu.pipeline.audio_stage import AudioStage, make_windows
+from avcer_tpu.pipeline.detect import DetectStage
+from avcer_tpu.pipeline.tracker import IoUTracker
+from avcer_tpu.pipeline.visual import VisualStage, build_temporal_plan
+
+log = logging.getLogger("avcer_tpu")
+
+
+@dataclass
+class ClipResult:
+    name_video: str
+    fps: int
+    total_frames: int
+    stat_probs: np.ndarray  # [T, 7] video order
+    dyn_logits: np.ndarray  # [T, 7] video order
+    audio_window_logits: np.ndarray  # [W, C] fusion order
+    audio_frame_ids: np.ndarray
+    audio_window_of_row: np.ndarray
+    compound: Optional[compound_mod.CompoundResult] = None
+    timings: dict[str, float] = field(default_factory=dict)
+
+    @property
+    def rtf(self) -> float:
+        wall = sum(self.timings.values())
+        return wall / (self.total_frames / max(self.fps, 1))
+
+
+class Pipeline:
+    """Holds the three model stages; reusable across clips (compiled once
+    per input shape)."""
+
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        detect_vars: dict[str, Any],
+        static_vars: dict[str, Any],
+        lstm_vars: dict[str, Any],
+        audio_vars: dict[str, Any],
+        wav2vec2_config=None,
+    ):
+        import jax.numpy as jnp
+
+        self.cfg = cfg
+        dtype = jnp.bfloat16
+        self.detect = DetectStage(cfg.detector, detect_vars, dtype=dtype)
+        self.visual = VisualStage(
+            static_vars, lstm_vars, num_classes=cfg.visual.num_classes,
+            dtype=dtype, batch_size=cfg.visual.batch_size,
+        )
+        self.audio = AudioStage(audio_vars, cfg.audio, wav2vec2_config, dtype=dtype)
+        self.tracker = IoUTracker(
+            iou_threshold=cfg.detector.tracker_iou,
+            minimum_face_size=cfg.detector.min_face_size,
+        )
+
+    # ------------------------------------------------------------------
+    def detect_and_crop(
+        self, reader: media.VideoReader, save_dir: Optional[str] = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Run detection+tracking over the clip.
+
+        Returns (present [T] bool for tracklet id 1, crops [P, 224, 224, 3]
+        uint8 BGR in frame order). Detection batches are dispatched ahead so
+        device detect overlaps host crop/track work.
+        """
+        import cv2
+
+        self.tracker.reset()
+        cfg = self.cfg.detector
+        present: list[bool] = []
+        crops: list[np.ndarray] = []
+        name_file = os.path.basename(reader.meta.path)
+        base = name_file[: name_file.rfind(".")] if "." in name_file else name_file
+
+        pending: list[tuple[np.ndarray, int, Any, float]] = []
+
+        def drain(entry) -> None:
+            frames_np, n_valid, packed, scale = entry
+            det = self.detect.unpack(np.asarray(packed, np.float32), scale)
+            boxes = det.boxes
+            scores = det.scores
+            keep = det.keep
+            frame_idx0 = len(present)
+            for i in range(n_valid):
+                kept = keep[i]
+                frame_dets = np.concatenate(
+                    [boxes[i][kept], scores[i][kept][:, None]], axis=1
+                )
+                tids = self.tracker(frame_dets)
+                got_target = False
+                for det_row, tid in zip(frame_dets, tids):
+                    if tid is None:
+                        continue
+                    x1, y1, x2, y2 = det_row[:4].astype(int)
+                    x1, y1 = max(0, x1), max(0, y1)
+                    x2 = min(reader.meta.width - 1, x2)
+                    y2 = min(reader.meta.height - 1, y2)
+                    if x2 <= x1 or y2 <= y1:
+                        continue
+                    crop = frames_np[i, y1:y2, x1:x2]
+                    if save_dir is not None:
+                        c_path = os.path.join(save_dir, base, str(tid - 1).zfill(2))
+                        os.makedirs(c_path, exist_ok=True)
+                        cv2.imwrite(
+                            os.path.join(
+                                c_path, str(frame_idx0 + i).zfill(6) + ".jpg"
+                            ),
+                            crop,
+                        )
+                    if tid == 1 and not got_target:
+                        crops.append(media.resize_nearest_np(crop, (224, 224)))
+                        got_target = True
+                present.append(got_target)
+
+        for frames_np, n_valid in reader.batches(cfg.batch_size):
+            packed, scale = self.detect.dispatch(frames_np)  # async enqueue
+            pending.append((frames_np, n_valid, packed, scale))
+            if len(pending) > 2:  # keep 2 batches in flight on device
+                drain(pending.pop(0))
+        while pending:
+            drain(pending.pop(0))
+
+        crops_arr = (
+            np.stack(crops) if crops else np.zeros((0, 224, 224, 3), np.uint8)
+        )
+        return np.asarray(present, bool), crops_arr
+
+    # ------------------------------------------------------------------
+    def run(self, path_video: str, path_save: str = "", wav: Optional[np.ndarray] = None) -> ClipResult:
+        reader = media.VideoReader(path_video)
+        meta = reader.meta
+        name_video = os.path.basename(path_video)
+        name_video = name_video[: name_video.rfind(".")] if "." in name_video else name_video
+
+        timings: dict[str, float] = {}
+        t0 = time.perf_counter()
+        save_dir = path_save if self.cfg.save_face_crops and path_save else None
+        present, crops = self.detect_and_crop(reader, save_dir)
+        reader.release()
+        total_frames = meta.total_frames or len(present)
+        if len(present) < total_frames:  # decoder returned fewer frames
+            total_frames = len(present)
+        timings["detect"] = time.perf_counter() - t0
+
+        # audio windows can be prepared while visual runs
+        t0 = time.perf_counter()
+        if wav is None:
+            try:
+                wav = media.extract_audio(path_video, self.cfg.audio.sample_rate)
+            except (RuntimeError, FileNotFoundError) as e:
+                log.warning("audio unavailable for %s: %s", path_video, e)
+                wav = np.zeros(
+                    int(total_frames / max(meta.fps, 1) * self.cfg.audio.sample_rate),
+                    np.float32,
+                )
+        audio_windows = make_windows(wav, self.cfg.audio, meta.fps)
+        timings["audio_prep"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        stat_probs_p, feats_p = self.visual.run_static(crops)
+        step = registry.dynamic_step(meta.fps)
+        plan = build_temporal_plan(present[:total_frames], step)
+        dyn_logits_s = self.visual.run_dynamic(feats_p, plan)
+        stat_probs, dyn_logits = self.visual.expand_to_frames(
+            stat_probs_p, dyn_logits_s, plan, self.cfg.visual.num_classes
+        )
+        timings["visual"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        audio_logits = self.audio.run(audio_windows)
+        timings["audio"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        audio_frame_logits = compound_mod.align_audio_to_frames(
+            audio_logits, audio_windows.frame_ids, audio_windows.window_of_row,
+            total_frames,
+        )
+        result = compound_mod.decide(
+            stat_probs, dyn_logits, audio_frame_logits, name_video, self.cfg.fusion
+        )
+        timings["fusion"] = time.perf_counter() - t0
+
+        clip = ClipResult(
+            name_video=name_video,
+            fps=meta.fps,
+            total_frames=total_frames,
+            stat_probs=stat_probs,
+            dyn_logits=dyn_logits,
+            audio_window_logits=audio_logits,
+            audio_frame_ids=audio_windows.frame_ids,
+            audio_window_of_row=audio_windows.window_of_row,
+            compound=result,
+            timings=timings,
+        )
+        if path_save:
+            self.save_outputs(clip, path_save)
+        return clip
+
+    # ------------------------------------------------------------------
+    def save_outputs(self, clip: ClipResult, path_save: str) -> None:
+        import pandas as pd
+
+        os.makedirs(path_save, exist_ok=True)
+        emo_video = list(registry.VIDEO_EMOTIONS)
+        pd.DataFrame(clip.dyn_logits, columns=emo_video).to_csv(
+            os.path.join(path_save, f"dynamic__{clip.name_video}.csv"), index=False
+        )
+        pd.DataFrame(clip.stat_probs, columns=emo_video).to_csv(
+            os.path.join(path_save, f"static__{clip.name_video}.csv"), index=False
+        )
+
+        # audio CSV: window rows replicated per covered frame name
+        # (get_prob_audio_8_cl.py:94-101, 125-136)
+        emo_audio = list(
+            registry.AUDIO_EMOTIONS_8
+            if self.cfg.audio.num_classes == 8
+            else registry.AUDIO_EMOTIONS_7
+        )
+        rows = clip.audio_window_logits[clip.audio_window_of_row]
+        adf = pd.DataFrame(rows, columns=emo_audio)
+        adf["frames"] = [
+            str(i).zfill(6) + ".jpg" for i in clip.audio_frame_ids
+        ]
+        adf.to_csv(os.path.join(path_save, f"audio__{clip.name_video}.csv"), index=False)
+
+        fcfg = self.cfg.fusion
+        if self.cfg.save_probs and clip.compound is not None:
+            ce_dir = os.path.join(path_save, "DF_C_EXPR_DB")
+            os.makedirs(ce_dir, exist_ok=True)
+            compound_mod.save_compound_txt(
+                os.path.join(
+                    ce_dir,
+                    f"C_EXPR_DB_av_{fcfg.ce_weights_type}_{fcfg.ce_mask}_{clip.name_video}.txt",
+                ),
+                clip.compound.image_locations,
+                clip.compound.av,
+            )
+        if self.cfg.save_plot and clip.compound is not None:
+            from avcer_tpu.utils import viz
+
+            # "pedicted" typo preserved for output-name parity (run.py:286)
+            rule = "Rule 2" if fcfg.ce_weights_type else ("Rule 1" if fcfg.ce_mask else "none")
+            viz.plot_compound_expression_prediction(
+                {
+                    "VS": clip.compound.vs,
+                    "VD": clip.compound.vd,
+                    "A": clip.compound.a,
+                    "AV": clip.compound.av,
+                },
+                save_path=os.path.join(path_save, f"pedicted_CEs_{rule}.jpg"),
+                title="Сompound expressions predicted by models",
+            )

@@ -1,0 +1,89 @@
+"""IoU face tracker (host-side, sequential by nature).
+
+Behavior contract — /root/reference/src/data/face_detection/ibug/
+face_detection/utils/simple_face_tracker.py:
+
+- Hungarian assignment on 1 - IoU distance (:44-67)
+- distances above 1 - iou_threshold never match (large fill value, :47-48)
+- unmatched tracklets expire immediately (:74-75)
+- new faces get monotonically increasing 1-based ids (:78-83)
+- empty detection list clears all tracklets (:32-34)
+- minimum_face_size**2 area gate (:46, :78)
+
+This stays on host: it is O(faces^2) sequential state machine work on a
+handful of boxes per frame — not worth a device program.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+
+class IoUTracker:
+    def __init__(self, iou_threshold: float = 0.4, minimum_face_size: float = 0.0):
+        self.iou_threshold = iou_threshold
+        self.minimum_face_size = minimum_face_size
+        self._tracklets: list[dict] = []
+        self._counter = 0
+
+    def reset(self, reset_counter: bool = True) -> None:
+        self._tracklets = []
+        if reset_counter:
+            self._counter = 0
+
+    def __call__(self, boxes: np.ndarray) -> List[Optional[int]]:
+        """boxes: [N, >=4] xyxy. Returns per-box tracklet id (1-based) or None."""
+        if boxes.size <= 0:
+            self._tracklets = []
+            return []
+        boxes = np.asarray(boxes, dtype=float)
+        areas = np.abs((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]))
+        dist_thresh = float(np.clip(1.0 - self.iou_threshold, 0.0, 1.0))
+        min_area = max(self.minimum_face_size**2, np.finfo(float).eps)
+
+        n, m = boxes.shape[0], len(self._tracklets)
+        fill = 2.0 * min(n, m) if m else 0.0
+        distances = np.full((n, m), fill, dtype=float)
+        for row in range(n):
+            if areas[row] < min_area:
+                continue
+            bx = boxes[row]
+            for col, t in enumerate(self._tracklets):
+                tb = t["bbox"]
+                x_left = max(min(bx[0], bx[2]), min(tb[0], tb[2]))
+                y_top = max(min(bx[1], bx[3]), min(tb[1], tb[3]))
+                x_right = min(max(bx[2], bx[0]), max(tb[2], tb[0]))
+                y_bottom = min(max(bx[3], bx[1]), max(tb[3], tb[1]))
+                if x_right <= x_left or y_bottom <= y_top:
+                    d = 1.0
+                else:
+                    inter = (x_right - x_left) * (y_bottom - y_top)
+                    d = 1.0 - inter / float(areas[row] + t["area"] - inter)
+                if d <= dist_thresh:
+                    distances[row, col] = d
+
+        ids: list[Optional[int]] = [None] * n
+        if m:
+            for row, col in zip(*linear_sum_assignment(distances)):
+                if distances[row, col] <= dist_thresh:
+                    t = self._tracklets[col]
+                    ids[row] = t["id"]
+                    t["bbox"] = boxes[row, :4].copy()
+                    t["area"] = areas[row]
+                    t["tracked"] = True
+        self._tracklets = [t for t in self._tracklets if t.get("tracked")]
+        for t in self._tracklets:
+            t["tracked"] = False
+
+        for row in range(n):
+            if ids[row] is None and areas[row] >= min_area:
+                self._counter += 1
+                self._tracklets.append(
+                    {"bbox": boxes[row, :4].copy(), "area": areas[row],
+                     "id": self._counter, "tracked": False}
+                )
+                ids[row] = self._counter
+        return ids

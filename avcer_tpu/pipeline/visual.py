@@ -1,0 +1,185 @@
+"""Visual emotion stage: batched static CNN + windowed dynamic LSTM.
+
+Replaces the per-frame loop of /root/reference/src/get_prob_video.py:67-204
+with three fixed-shape device programs (CNN over all face crops, LSTM over
+all step windows, fused normalization) plus O(T) host index bookkeeping.
+
+Replicated semantics (get_prob_video.py):
+
+- dynamic cadence ``step = round(5 * fps / 25)`` (:77)
+- features pushed only on step frames (``idx % step == 0``) (:114-123)
+- window bootstrap: first step frame after a reset fills the whole window
+  with its own feature; afterwards the window slides (:117-120).
+  Equivalently window[j] = features[max(segment_start, k - 9 + j)].
+- a missing-face frame CLEARS the feature window (:169) but NOT last_output
+- non-step present frames repeat the last step output, zeros before the
+  first step output (:157-162)
+- missing frames repeat the previously appended static+dynamic rows once a
+  step output exists, zeros rows otherwise (:168-178)
+- static probs are softmaxed on device (:107-109); dynamic rows stay raw
+  logits (:127) — fusion softmaxes them later
+- only tracklet id 1 (folder "00") feeds the visual models (:79: the
+  reference hardcodes the "00" subfolder)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avcer_tpu.core import registry
+from avcer_tpu.models.emotion_resnet import EmotionResNet50
+from avcer_tpu.models.temporal_lstm import TemporalLSTM
+from avcer_tpu.ops.image import vggface_normalize
+
+
+@dataclass
+class TemporalPlan:
+    """Host-computed index plan for one clip."""
+
+    present: np.ndarray  # [T] bool, face present on frame t
+    present_index: np.ndarray  # [T] index into present-frame arrays, -1 if absent
+    step_frames: np.ndarray  # [S] present-frame indices (into present arrays) of step frames
+    window_idx: np.ndarray  # [S, 10] indices into step-feature array
+    stat_src: np.ndarray  # [T] index into present static array, -1 => zeros row
+    dyn_src: np.ndarray  # [T] index into step output array, -1 => zeros row
+
+
+def build_temporal_plan(present: np.ndarray, step: int, window: int = 10) -> TemporalPlan:
+    """O(T) host bookkeeping reproducing the reference's loop-state machine."""
+    t_total = len(present)
+    present_index = np.full(t_total, -1, np.int64)
+    present_index[present] = np.arange(int(present.sum()))
+
+    step_frames: list[int] = []  # present-array index of each step frame
+    window_rows: list[list[int]] = []
+    stat_src = np.full(t_total, -1, np.int64)
+    dyn_src = np.full(t_total, -1, np.int64)
+
+    seg_start = 0  # index into step_frames of the current reset segment start
+    last_step_out = -1  # index of the latest step output, -1 = None
+    last_stat = -1  # present-array index of the last appended static row
+    for t in range(t_total):
+        if present[t]:
+            stat_src[t] = present_index[t]
+            last_stat = present_index[t]
+            if t % step == 0:
+                k = len(step_frames)
+                if k == len(window_rows):  # always true; append new window
+                    row = [max(seg_start, k - (window - 1) + j) for j in range(window)]
+                    window_rows.append(row)
+                step_frames.append(present_index[t])
+                last_step_out = k
+            dyn_src[t] = last_step_out
+        else:
+            # reset the feature window segment
+            seg_start = len(step_frames)
+            if last_step_out >= 0:
+                stat_src[t] = last_stat
+                dyn_src[t] = last_step_out
+            else:
+                stat_src[t] = -1
+                dyn_src[t] = -1
+                last_stat = -1  # reference appends a zeros row; future missing
+                # frames forward-fill it only via last_output, handled above
+    return TemporalPlan(
+        present=present,
+        present_index=present_index,
+        step_frames=np.asarray(step_frames, np.int64),
+        window_idx=np.asarray(window_rows, np.int64).reshape(-1, window),
+        stat_src=stat_src,
+        dyn_src=dyn_src,
+    )
+
+
+class VisualStage:
+    def __init__(
+        self,
+        static_variables: dict[str, Any],
+        lstm_variables: dict[str, Any],
+        num_classes: int = 7,
+        dtype=jnp.bfloat16,
+        batch_size: int = 64,
+    ):
+        self.static_model = EmotionResNet50(num_classes=num_classes, dtype=dtype)
+        self.lstm_model = TemporalLSTM(num_classes=num_classes, dtype=dtype)
+        self.static_variables = static_variables
+        self.lstm_variables = lstm_variables
+        self.batch_size = batch_size
+        self._jit_static = jax.jit(self._static_impl)
+        self._jit_lstm = jax.jit(self._lstm_impl)
+
+    def _static_impl(self, variables: dict, crops: jax.Array) -> jax.Array:
+        """crops: [B, 224, 224, 3] uint8 BGR -> packed [B, 7 + 512]
+        (softmax probs ++ relu features) — ONE device->host transfer."""
+        x = vggface_normalize(crops)
+        logits, feats = self.static_model.apply(variables, x)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.concatenate([probs, feats.astype(jnp.float32)], axis=-1)
+
+    def _lstm_impl(self, variables: dict, windows: jax.Array):
+        return self.lstm_model.apply(variables, windows).astype(jnp.float32)
+
+    def run_static(self, crops: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """All present-face crops [P, 224, 224, 3] -> (probs [P, 7], feats [P, 512]).
+        Fixed-shape batches; ALL batches dispatch before the first fetch so
+        host transfers overlap device compute."""
+        p = crops.shape[0]
+        nc = self.static_model.num_classes
+        if p == 0:
+            return np.zeros((0, nc), np.float32), np.zeros((0, 512), np.float32)
+        bs = self.batch_size
+        handles = []
+        for s in range(0, p, bs):
+            chunk = crops[s : s + bs]
+            n = chunk.shape[0]
+            if n < bs:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
+            handles.append((self._jit_static(self.static_variables, jnp.asarray(chunk)), n))
+        packed = np.concatenate([np.asarray(h)[:n] for h, n in handles])
+        return packed[:, :nc], packed[:, nc:]
+
+    def run_dynamic(self, feats: np.ndarray, plan: TemporalPlan) -> np.ndarray:
+        """Step-frame features -> [S, 7] raw logits via batched LSTM."""
+        if plan.step_frames.size == 0:
+            return np.zeros((0, 7), np.float32)
+        step_feats = feats[plan.step_frames]  # [S, 512]
+        windows = step_feats[plan.window_idx]  # [S, 10, 512]
+        s = windows.shape[0]
+        bs = max(8, self.batch_size // 4)
+        handles = []
+        for i in range(0, s, bs):
+            chunk = windows[i : i + bs]
+            n = chunk.shape[0]
+            if n < bs:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
+            handles.append((self._jit_lstm(self.lstm_variables, jnp.asarray(chunk)), n))
+        return np.concatenate([np.asarray(h)[:n] for h, n in handles])
+
+    def expand_to_frames(
+        self,
+        stat_probs: np.ndarray,  # [P, 7]
+        dyn_logits: np.ndarray,  # [S, 7]
+        plan: TemporalPlan,
+        num_classes: int = 7,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-frame [T, 7] static probs and dynamic logits with the
+        reference's forward-fill / zeros semantics."""
+        t_total = plan.stat_src.shape[0]
+        stat = np.zeros((t_total, num_classes), np.float32)
+        dyn = np.zeros((t_total, num_classes), np.float32)
+        m = plan.stat_src >= 0
+        if stat_probs.size:
+            stat[m] = stat_probs[plan.stat_src[m]]
+        md = plan.dyn_src >= 0
+        if dyn_logits.size:
+            dyn[md] = dyn_logits[plan.dyn_src[md]]
+        return stat, dyn
+
+
+def dynamic_step_for_fps(fps: float) -> int:
+    return registry.dynamic_step(fps)

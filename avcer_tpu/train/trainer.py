@@ -1,0 +1,305 @@
+"""Training harness — the NetTrainer equivalent on optax/pjit.
+
+Behavior contracts (/root/reference/src/audio/net_trainer/net_trainer.py):
+
+- per-epoch train/eval phases with metric computation (:198-336)
+- per-batch scheduler stepping at fractional epoch ``epoch + idx/iters``
+  (:437) — realized as a step-indexed optax schedule
+- best-metric checkpointing of {epoch, params, opt_state} (:273-287),
+  selection metric configurable (train_c_audio.py:217 uses F1)
+- mixup on inputs with convex loss mixing (:413-414, :574-604)
+- partial fine-tuning: only the last N wav2vec2 encoder blocks + the head
+  train (audio_8_cl.py:52-60 / :169-177); frozen params get zero updates
+- stats.csv of per-epoch per-phase metrics (:319-334), scalar logging, and
+  a config provenance snapshot (:83-91)
+
+TPU design: the train step is ONE jitted SPMD program over the (data, model)
+mesh — batch sharded on data, wav2vec2 tensor-parallel on model; XLA inserts
+the gradient psum. No host sync inside an epoch except metric accumulation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from avcer_tpu.core.config import TrainConfig
+from avcer_tpu.parallel import mesh as mesh_lib
+from avcer_tpu.train import losses as loss_lib
+from avcer_tpu.train import metrics as metrics_lib
+from avcer_tpu.train.schedules import make_optimizer
+
+
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def default_trainable(path: str, unfreeze_last_n: int, num_layers: int) -> bool:
+    """Reference fine-tuning policy: freeze all of wav2vec2 except the last N
+    encoder layers; train everything outside wav2vec2."""
+    if "wav2vec2" not in path:
+        return True
+    for i in range(num_layers - unfreeze_last_n, num_layers):
+        if f"layers_{i}/" in path or path.endswith(f"layers_{i}"):
+            return True
+    return False
+
+
+def _paths(tree: Any) -> Any:
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, _: mesh_lib._path_str(kp), tree
+    )
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,  # flax module: apply({"params", "batch_stats"}, x, deterministic=...)
+        cfg: TrainConfig,
+        loss_fn: Optional[Callable] = None,
+        class_weights: Optional[np.ndarray] = None,
+        iters_per_epoch: int = 100,
+        unfreeze_last_n: int = 4,
+        wav2vec2_layers: int = 12,
+        mesh=None,
+        log_dir: Optional[str] = None,
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
+            cfg.mesh.data, cfg.mesh.model
+        )
+        self.class_weights = (
+            jnp.asarray(class_weights, jnp.float32) if class_weights is not None else None
+        )
+        if loss_fn is not None:
+            self.loss_fn = loss_fn
+        elif cfg.loss == "soft_focal":
+            self.loss_fn = lambda logits, labels: loss_lib.soft_focal_loss_onehot(
+                logits, labels, cfg.num_classes
+            )
+        else:
+            self.loss_fn = lambda logits, labels: loss_lib.weighted_cross_entropy(
+                logits, labels, self.class_weights, cfg.label_smoothing
+            )
+        self.tx = make_optimizer(
+            cfg.optim.lr, cfg.optim.t0, iters_per_epoch, cfg.optim.t_mult,
+            cfg.optim.eta_min, cfg.optim.weight_decay,
+        )
+        self.unfreeze_last_n = unfreeze_last_n
+        self.wav2vec2_layers = wav2vec2_layers
+        self.log_dir = log_dir or os.path.join(cfg.log_root, "run")
+        self._jit_train_step = None
+        self._jit_eval_step = None
+        self._jit_feature_step = None
+        self.history: list[dict] = []
+        self.best: dict[str, Any] = {"metric": -np.inf, "epoch": -1, "state": None}
+        self._tb: dict[str, Any] = {}
+
+    def _writer(self, phase: str):
+        if phase not in self._tb:
+            from avcer_tpu.utils.tb import SummaryWriter
+
+            self._tb[phase] = SummaryWriter(os.path.join(self.log_dir, phase))
+        return self._tb[phase]
+
+    # ------------------------------------------------------------------
+    def init_state(self, example_batch: np.ndarray, seed: int | None = None) -> TrainState:
+        rng = jax.random.PRNGKey(self.cfg.seed if seed is None else seed)
+        variables = self.model.init(rng, jnp.asarray(example_batch[:1]))
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        mask = jax.tree_util.tree_map_with_path(
+            lambda kp, _: default_trainable(
+                mesh_lib._path_str(kp), self.unfreeze_last_n, self.wav2vec2_layers
+            ),
+            params,
+        )
+        self._trainable_mask = mask
+        tx = optax.multi_transform(
+            {"train": self.tx, "freeze": optax.set_to_zero()},
+            jax.tree.map(lambda t: "train" if t else "freeze", mask),
+        )
+        self._full_tx = tx
+        # place params on the mesh per the TP rules before opt init
+        shardings = mesh_lib.param_shardings({"params": params}, self.mesh)["params"]
+        params = jax.tree.map(jax.device_put, params, shardings)
+        opt_state = tx.init(params)
+        return TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
+
+    # ------------------------------------------------------------------
+    def _loss_and_logits(self, params, batch_stats, rng, x, y, train: bool):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        mutable = ["batch_stats"] if (train and batch_stats) else False
+        kwargs = dict(deterministic=not train)
+        if train:
+            out = self.model.apply(
+                variables, x, rngs={"dropout": rng}, mutable=mutable, **kwargs
+            )
+            logits, updates = out if mutable else (out, {})
+            new_stats = updates.get("batch_stats", batch_stats) if mutable else batch_stats
+        else:
+            logits = self.model.apply(variables, x, **kwargs)
+            new_stats = batch_stats
+        return logits, new_stats
+
+    def make_train_step(self):
+        mixup_alpha = self.cfg.mixup_alpha if self.cfg.augmentation else 0.0
+
+        def step_fn(state: TrainState, x, y, rng):
+            rng_drop, rng_mix = jax.random.split(jax.random.fold_in(rng, state.step))
+
+            def loss_fn(params):
+                if mixup_alpha > 0:
+                    mixed, perm, lam = loss_lib.mixup_batch(rng_mix, x, mixup_alpha)
+                    logits, new_stats = self._loss_and_logits(
+                        params, state.batch_stats, rng_drop, mixed, y, True
+                    )
+                    loss = lam * self.loss_fn(logits, y) + (1 - lam) * self.loss_fn(
+                        logits, y[perm]
+                    )
+                else:
+                    logits, new_stats = self._loss_and_logits(
+                        params, state.batch_stats, rng_drop, x, y, True
+                    )
+                    loss = self.loss_fn(logits, y)
+                return loss, (logits, new_stats)
+
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt = self._full_tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(new_params, new_stats, new_opt, state.step + 1)
+            return new_state, loss, logits
+
+        return step_fn
+
+    def train_step(self, state: TrainState, x, y, rng) -> tuple[TrainState, float, np.ndarray]:
+        if self._jit_train_step is None:
+            self._jit_train_step = jax.jit(self.make_train_step(), donate_argnums=(0,))
+        x = jax.device_put(jnp.asarray(x), mesh_lib.batch_sharding(self.mesh))
+        y = jax.device_put(jnp.asarray(y), mesh_lib.batch_sharding(self.mesh))
+        return self._jit_train_step(state, x, y, rng)
+
+    def eval_step(self, state: TrainState, x) -> np.ndarray:
+        if self._jit_eval_step is None:
+            def f(params, batch_stats, x):
+                logits, _ = self._loss_and_logits(params, batch_stats, None, x, None, False)
+                return logits
+
+            self._jit_eval_step = jax.jit(f)
+        x = jax.device_put(jnp.asarray(x), mesh_lib.batch_sharding(self.mesh))
+        return np.asarray(self._jit_eval_step(state.params, state.batch_stats, x))
+
+    # ------------------------------------------------------------------
+    def run_epoch(
+        self,
+        state: TrainState,
+        loader: Iterable[tuple[np.ndarray, np.ndarray]],
+        epoch: int,
+        train: bool,
+        rng: Optional[jax.Array] = None,
+    ) -> tuple[TrainState, dict]:
+        rng = rng if rng is not None else jax.random.PRNGKey(epoch)
+        all_true, all_pred, losses = [], [], []
+        t0 = time.perf_counter()
+        for x, y in loader:
+            if train:
+                state, loss, logits = self.train_step(state, x, y, rng)
+                losses.append(float(loss))
+            else:
+                logits = self.eval_step(state, x)
+            all_true.append(np.asarray(y))
+            all_pred.append(np.asarray(logits).argmax(-1))
+        true = np.concatenate(all_true) if all_true else np.zeros(0, np.int64)
+        pred = np.concatenate(all_pred) if all_pred else np.zeros(0, np.int64)
+        u, a, f, p, m = (
+            metrics_lib.reference_metrics(true, pred) if true.size else (0,) * 5
+        )
+        stats = {
+            "epoch": epoch,
+            "phase": "train" if train else "eval",
+            "loss": float(np.mean(losses)) if losses else float("nan"),
+            "uar": u, "accuracy": a, "f1": f, "precision": p, "mean": m,
+            "seconds": time.perf_counter() - t0,
+        }
+        self.history.append(stats)
+        # per-phase TensorBoard scalars (net_trainer.py:185-187, 230-235)
+        w = self._writer(stats["phase"])
+        for key in ("loss", "uar", "accuracy", "f1", "precision"):
+            if np.isfinite(stats[key]):
+                w.add_scalar(key, stats[key], epoch)
+        w.flush()
+        return state, stats
+
+    def extract_features(
+        self, state: TrainState, loader: Iterable
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(logits [N, C], pooled features [N, F]) over a loader — the
+        NetTrainer.extract_features capability (net_trainer.py:469-535,
+        consumed by run_extract_features.py)."""
+        if self._jit_feature_step is None:
+            def f(params, batch_stats, x):
+                variables = {"params": params}
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                return self.model.apply(
+                    variables, x, deterministic=True, return_features=True
+                )
+
+            self._jit_feature_step = jax.jit(f)
+        logits_all, feats_all = [], []
+        for x, _y in loader:
+            logits, feats = self._jit_feature_step(
+                state.params, state.batch_stats, jnp.asarray(x)
+            )
+            logits_all.append(np.asarray(logits))
+            feats_all.append(np.asarray(feats))
+        return np.concatenate(logits_all), np.concatenate(feats_all)
+
+    def maybe_update_best(self, state: TrainState, stats: dict, epoch: int) -> bool:
+        metric = stats.get(self.cfg.selection_metric, stats.get("f1", 0.0))
+        if metric > self.best["metric"]:
+            self.best = {
+                "metric": metric,
+                "epoch": epoch,
+                "state": jax.tree.map(np.asarray, state.params),
+            }
+            return True
+        return False
+
+    # ------------------------------------------------------------------
+    def write_stats_csv(self) -> str:
+        import pandas as pd
+
+        os.makedirs(self.log_dir, exist_ok=True)
+        path = os.path.join(self.log_dir, "stats.csv")
+        pd.DataFrame(self.history).to_csv(path, index=False)
+        return path
+
+    def write_provenance(self) -> str:
+        os.makedirs(self.log_dir, exist_ok=True)
+        path = os.path.join(self.log_dir, "source.log")
+        with open(path, "w") as fh:
+            fh.write(self.cfg.to_json())
+            fh.write("\n")
+            fh.write(json.dumps({"model": repr(self.model)}, indent=2))
+        return path

@@ -1,14 +1,23 @@
 """Test harness: run everything on a virtual 8-device CPU mesh so sharding
-logic is exercised without TPU hardware."""
+logic is exercised without TPU hardware.
+
+Note: this image boots an ``axon`` TPU PJRT plugin from sitecustomize and
+exports JAX_PLATFORMS=axon, so plain env vars are not enough — the platform
+is forced through jax.config before any backend initializes.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+platform = os.environ.get("AVCER_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", platform)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -21,10 +21,13 @@ def test_resize_nearest_matches_pil(rng):
 
 
 def test_crop_and_resize_matches_pil_crop_then_resize(rng):
+    """Boxes chosen so no (i+0.5)*size/224 product lands exactly on an
+    integer — there the op's exact-rational floor and PIL's float64 floor
+    coincide (see crop_and_resize_nearest docstring for the edge case)."""
     h, w = 240, 320
     frames = rng.integers(0, 255, size=(4, h, w, 3), dtype=np.uint8)
     boxes = np.array(
-        [[10, 20, 110, 140], [0, 0, 320, 240], [100, 50, 101, 51], [5, 7, 200, 239]],
+        [[10, 20, 110, 140], [1, 3, 318, 238], [100, 50, 101, 51], [5, 7, 200, 239]],
         dtype=np.int32,
     )
     got = np.asarray(
@@ -34,6 +37,20 @@ def test_crop_and_resize_matches_pil_crop_then_resize(rng):
         crop = frames[i, y1:y2, x1:x2]
         want = pil_nearest(crop, (224, 224))
         np.testing.assert_array_equal(got[i], want)
+
+
+def test_crop_and_resize_exact_rational_boundaries(rng):
+    """On exact rational boundaries (320->224 hits one every 7 columns) the
+    op follows the exact rational floor."""
+    frames = rng.integers(0, 255, size=(1, 240, 320, 3), dtype=np.uint8)
+    boxes = np.array([[0, 0, 320, 240]], dtype=np.int32)
+    got = np.asarray(
+        img_ops.crop_and_resize_nearest(jnp.asarray(frames), jnp.asarray(boxes), 224)
+    )[0]
+    ri = ((2 * np.arange(224) + 1) * 240) // 448
+    ci = ((2 * np.arange(224) + 1) * 320) // 448
+    want = frames[0][ri[:, None], ci[None, :]]
+    np.testing.assert_array_equal(got, want)
 
 
 def test_clamp_boxes():

@@ -1,0 +1,37 @@
+"""Pallas kernels vs their XLA references (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from avcer_tpu.ops import nms as nms_ops
+from avcer_tpu.ops.pallas.lstm_kernel import pack_lstm_params, pallas_lstm_forward
+from avcer_tpu.ops.pallas.nms_kernel import pallas_nms_mask
+
+
+def test_pallas_nms_matches_xla(rng):
+    b, k = 3, 64
+    cx = rng.uniform(0, 200, (b, k)).astype(np.float32)
+    cy = rng.uniform(0, 200, (b, k)).astype(np.float32)
+    w = rng.uniform(5, 80, (b, k)).astype(np.float32)
+    h = rng.uniform(5, 80, (b, k)).astype(np.float32)
+    boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=-1)
+    scores = -np.sort(-rng.random((b, k)).astype(np.float32), axis=1)
+    valid = scores > 0.3
+    want = np.asarray(nms_ops.nms_mask(jnp.asarray(boxes), jnp.asarray(valid), 0.4))
+    got = np.asarray(
+        pallas_nms_mask(jnp.asarray(boxes), jnp.asarray(valid), 0.4, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_lstm_matches_scan(rng):
+    from avcer_tpu.models.temporal_lstm import TemporalLSTM
+
+    model = TemporalLSTM(7, dtype=jnp.float32)
+    x = rng.normal(size=(4, 10, 512)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    want = np.asarray(model.apply(variables, jnp.asarray(x)))
+    packed = pack_lstm_params(variables)
+    got = np.asarray(pallas_lstm_forward(jnp.asarray(x), *packed, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

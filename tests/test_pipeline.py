@@ -1,0 +1,227 @@
+"""Pipeline-level tests: temporal plan parity vs a direct simulation of the
+reference loop, tracker behavior, audio alignment, and an end-to-end smoke
+run on a synthetic clip with tiny random-weight models."""
+
+import os
+
+import numpy as np
+import pytest
+
+from avcer_tpu.fusion.compound import align_audio_to_frames
+from avcer_tpu.pipeline.tracker import IoUTracker
+from avcer_tpu.pipeline.visual import build_temporal_plan
+
+
+# ---------------------------------------------------------------------------
+# Temporal plan parity (spec: get_prob_video.py:91-180 state machine)
+# ---------------------------------------------------------------------------
+
+
+def reference_loop(present, step, feats, dyn_fn, stat_fn):
+    """Direct simulation of the reference's per-frame loop semantics."""
+    last_output = None
+    lstm_features = []
+    probs_static, probs_dynamic = [], []
+    zeros = np.zeros(7)
+    for t in range(len(present)):
+        if present[t]:
+            output_s = stat_fn(t)
+            if t % step == 0:
+                f = feats[t]
+                if len(lstm_features) == 0:
+                    lstm_features = [f] * 10
+                else:
+                    lstm_features = lstm_features[1:] + [f]
+                output_d = dyn_fn(np.stack(lstm_features))
+                last_output = output_d
+            else:
+                output_d = last_output if last_output is not None else zeros
+            probs_static.append(output_s)
+            probs_dynamic.append(output_d)
+        else:
+            lstm_features = []
+            if last_output is not None:
+                probs_static.append(probs_static[-1])
+                probs_dynamic.append(probs_dynamic[-1])
+            else:
+                probs_static.append(zeros)
+                probs_dynamic.append(zeros)
+    return np.stack(probs_static), np.stack(probs_dynamic)
+
+
+@pytest.mark.parametrize("step", [1, 2, 5])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_temporal_plan_matches_reference_loop(step, seed):
+    rng = np.random.default_rng(seed)
+    t_total = 60
+    present = rng.random(t_total) > 0.3
+    feats = rng.normal(size=(t_total, 7))  # 7-d stand-in features
+    stat_vals = rng.normal(size=(t_total, 7))
+
+    def dyn_fn(window):  # deterministic linear "LSTM"
+        return window.mean(axis=0) * np.arange(1, 8)
+
+    want_stat, want_dyn = reference_loop(
+        present, step, feats, dyn_fn, lambda t: stat_vals[t]
+    )
+
+    plan = build_temporal_plan(present, step)
+    pres_idx = np.nonzero(present)[0]
+    stat_p = stat_vals[pres_idx]  # [P, 7] per present frame
+    feats_p = feats[pres_idx]
+    # batched dynamic: windows over step-frame features
+    if plan.step_frames.size:
+        step_feats = feats_p[plan.step_frames]
+        windows = step_feats[plan.window_idx]
+        dyn_s = np.stack([dyn_fn(w) for w in windows])
+    else:
+        dyn_s = np.zeros((0, 7))
+
+    got_stat = np.zeros((t_total, 7))
+    got_dyn = np.zeros((t_total, 7))
+    m = plan.stat_src >= 0
+    got_stat[m] = stat_p[plan.stat_src[m]]
+    md = plan.dyn_src >= 0
+    if dyn_s.size:
+        got_dyn[md] = dyn_s[plan.dyn_src[md]]
+
+    np.testing.assert_allclose(got_stat, want_stat, atol=1e-12)
+    np.testing.assert_allclose(got_dyn, want_dyn, atol=1e-12)
+
+
+def test_temporal_plan_all_missing():
+    plan = build_temporal_plan(np.zeros(10, bool), 2)
+    assert plan.step_frames.size == 0
+    assert (plan.stat_src == -1).all() and (plan.dyn_src == -1).all()
+
+
+# ---------------------------------------------------------------------------
+# Tracker (spec: simple_face_tracker.py)
+# ---------------------------------------------------------------------------
+
+
+def test_tracker_id_assignment_and_reset():
+    tr = IoUTracker(iou_threshold=0.4)
+    a = np.array([[0, 0, 10, 10, 0.9]])
+    b = np.array([[100, 100, 120, 120, 0.9]])
+    ids = tr(np.concatenate([a, b]))
+    assert ids == [1, 2]
+    # same boxes slightly moved keep ids
+    ids = tr(np.array([[1, 1, 11, 11, 0.9], [101, 99, 121, 119, 0.9]]))
+    assert ids == [1, 2]
+    # empty frame clears tracklets; new faces get new ids
+    assert tr(np.empty((0, 5))) == []
+    ids = tr(a)
+    assert ids == [3]
+    tr.reset()
+    assert tr(a) == [1]
+
+
+def test_tracker_non_overlapping_gets_new_id():
+    tr = IoUTracker(iou_threshold=0.4)
+    assert tr(np.array([[0, 0, 10, 10, 0.9]])) == [1]
+    # far-away box: old tracklet expires, new id
+    assert tr(np.array([[50, 50, 60, 60, 0.9]])) == [2]
+
+
+# ---------------------------------------------------------------------------
+# Audio -> frame alignment (spec: run.py:90-103)
+# ---------------------------------------------------------------------------
+
+
+def test_align_audio_groupby_mean_and_tail_fill(rng):
+    wl = rng.normal(size=(3, 8)).astype(np.float32)
+    frame_ids = np.array([0, 1, 2, 1, 2, 3, 2, 3, 4])
+    wor = np.array([0, 0, 0, 1, 1, 1, 2, 2, 2])
+    out = align_audio_to_frames(wl, frame_ids, wor, num_frames=8)
+    assert out.shape == (8, 8)
+    np.testing.assert_allclose(out[0], wl[0], rtol=1e-6)
+    np.testing.assert_allclose(out[1], (wl[0] + wl[1]) / 2, rtol=1e-6)
+    np.testing.assert_allclose(out[2], (wl[0] + wl[1] + wl[2]) / 3, rtol=1e-6)
+    np.testing.assert_allclose(out[4], wl[2], rtol=1e-6)
+    # frames 5..7 beyond coverage -> forward-filled with frame 4's row
+    for f in (5, 6, 7):
+        np.testing.assert_allclose(out[f], out[4], rtol=1e-6)
+    # ids beyond num_frames are dropped
+    out2 = align_audio_to_frames(wl, frame_ids, wor, num_frames=3)
+    assert out2.shape == (3, 8)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end smoke: synthetic clip, tiny random models, stubbed detector
+# ---------------------------------------------------------------------------
+
+
+class StubDetect:
+    """Deterministic detector: one centered face box on every frame.
+    Implements the stage interface the runner drives (dispatch/unpack)."""
+
+    def __init__(self, h, w):
+        self.h, self.w = h, w
+
+    def dispatch(self, frames):
+        b, k = frames.shape[0], 8
+        packed = np.zeros((b, k, 16), np.float32)
+        packed[:, 0, 0:4] = [self.w * 0.25, self.h * 0.25,
+                             self.w * 0.75, self.h * 0.75]
+        packed[:, 0, 4] = 0.95
+        packed[:, 0, 5] = 1.0
+        return packed, 1.0
+
+    def unpack(self, packed_np, scale):
+        from avcer_tpu.pipeline.detect import DetectStage
+
+        return DetectStage.unpack(packed_np, scale)
+
+
+@pytest.mark.slow
+def test_end_to_end_synthetic_clip(tmp_path, rng):
+    import cv2
+
+    from avcer_tpu.core.config import (AudioConfig, DetectorConfig,
+                                       PipelineConfig, VisualConfig)
+    from avcer_tpu.models.wav2vec2 import Wav2Vec2Config
+    from avcer_tpu.pipeline import media
+    from avcer_tpu.pipeline.builder import build_pipeline
+
+    h = w = 96
+    n_frames, fps = 30, 25
+    video_path = str(tmp_path / "clip.avi")
+    vw = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"MJPG"), fps, (w, h))
+    assert vw.isOpened()
+    for i in range(n_frames):
+        frame = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        vw.write(frame)
+    vw.release()
+    # sidecar wav (1.5 s, shorter than the 1.2 s video? -> 1.5s covers it)
+    wav = (rng.normal(size=int(1.5 * 16000)) * 0.1).astype(np.float32)
+    media.write_wav(str(tmp_path / "clip.wav"), wav, 16000)
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(batch_size=8, long_side=64),
+        visual=VisualConfig(batch_size=16),
+        audio=AudioConfig(batch_size=4),
+        weights_dir=str(tmp_path / "nonexistent_weights"),
+        save_plot=False,
+    )
+    tiny_w2v2 = Wav2Vec2Config(
+        hidden_size=64, num_layers=2, num_heads=4, intermediate_size=128,
+        conv_dim=(16,) * 7,
+    )
+    pipe = build_pipeline(cfg, wav2vec2_config=tiny_w2v2)
+    pipe.detect = StubDetect(h, w)
+
+    clip = pipe.run(video_path, str(tmp_path / "out"))
+    assert clip.total_frames == n_frames
+    assert clip.stat_probs.shape == (n_frames, 7)
+    assert clip.dyn_logits.shape == (n_frames, 7)
+    # every frame has a face -> static rows are probability rows
+    np.testing.assert_allclose(clip.stat_probs.sum(1), 1.0, atol=1e-4)
+    assert clip.compound is not None
+    assert clip.compound.av.shape == (n_frames,)
+    assert set(np.unique(clip.compound.av)) <= set(range(7))
+    for f in ("static__clip.csv", "dynamic__clip.csv", "audio__clip.csv"):
+        assert os.path.exists(tmp_path / "out" / f)
+    assert os.path.exists(
+        tmp_path / "out" / "DF_C_EXPR_DB" / "C_EXPR_DB_av_False_True_clip.txt"
+    )

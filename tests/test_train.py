@@ -1,0 +1,191 @@
+"""Training-subsystem tests: loss parity vs torch, schedule parity vs torch,
+metrics parity vs sklearn, and a sharded training smoke run on the 8-device
+CPU mesh."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+import jax
+import jax.numpy as jnp
+
+from avcer_tpu.train import losses, metrics, schedules
+
+
+# ---------------------------------------------------------------------------
+# Losses vs torch
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_ce_label_smoothing_matches_torch(rng):
+    logits = rng.normal(size=(16, 8)).astype(np.float32)
+    labels = rng.integers(0, 8, 16)
+    weights = rng.uniform(0.5, 2.0, 8).astype(np.float32)
+    want = F.cross_entropy(
+        torch.from_numpy(logits), torch.from_numpy(labels),
+        weight=torch.from_numpy(weights), label_smoothing=0.2,
+    ).item()
+    got = float(
+        losses.weighted_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(weights), 0.2
+        )
+    )
+    assert abs(got - want) < 1e-5
+
+    # no weights / no smoothing
+    want = F.cross_entropy(torch.from_numpy(logits), torch.from_numpy(labels)).item()
+    got = float(losses.weighted_cross_entropy(jnp.asarray(logits), jnp.asarray(labels)))
+    assert abs(got - want) < 1e-5
+
+
+def test_focal_loss_matches_reference_formula(rng):
+    """Spec: loss.py:6-85 — -alpha_y (1-p_y)^gamma log p_y, mean."""
+    logits = rng.normal(size=(12, 5)).astype(np.float32)
+    labels = rng.integers(0, 5, 12)
+    alpha = rng.uniform(0.5, 1.5, 5).astype(np.float32)
+    logp = torch.log_softmax(torch.from_numpy(logits), dim=-1)
+    ce = F.nll_loss(logp, torch.from_numpy(labels), weight=torch.from_numpy(alpha),
+                    reduction="none")
+    pt = logp[torch.arange(12), torch.from_numpy(labels)].exp()
+    want = ((1 - pt) ** 2.0 * ce).mean().item()
+    got = float(
+        losses.focal_loss(jnp.asarray(logits), jnp.asarray(labels),
+                          jnp.asarray(alpha), gamma=2.0)
+    )
+    assert abs(got - want) < 1e-5
+
+
+def test_soft_focal_loss_matches_reference_formula(rng):
+    """Spec: loss.py:88-137."""
+    logits = rng.normal(size=(9, 6)).astype(np.float32)
+    y = rng.random((9, 6)).astype(np.float32)
+    p = torch.softmax(torch.from_numpy(logits), dim=-1).clamp(1e-7, 1 - 1e-7)
+    want = ((1 - p) ** 1.5 * (-torch.from_numpy(y) * p.log())).sum(-1).mean().item()
+    got = float(
+        losses.soft_focal_loss(jnp.asarray(logits), jnp.asarray(y), gamma=1.5)
+    )
+    assert abs(got - want) < 1e-5
+
+    labels = rng.integers(0, 6, 9)
+    want_oh = float(
+        losses.soft_focal_loss(
+            jnp.asarray(logits), jax.nn.one_hot(jnp.asarray(labels), 6), gamma=0.0
+        )
+    )
+    got_oh = float(
+        losses.soft_focal_loss_onehot(jnp.asarray(logits), jnp.asarray(labels), 6)
+    )
+    assert abs(got_oh - want_oh) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Schedule vs torch CosineAnnealingWarmRestarts
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("t_mult", [1, 2])
+def test_cosine_warm_restarts_matches_torch(t_mult):
+    base_lr, t0, iters = 1e-4, 10, 7
+    sched = schedules.cosine_warm_restarts(base_lr, t0, iters, t_mult)
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base_lr)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+        opt, T_0=t0, T_mult=t_mult
+    )
+    # reference stepping: scheduler.step(epoch + idx/iters) per batch
+    # (net_trainer.py:437); ours: schedule(global_step)
+    for epoch in range(25):
+        for idx in range(iters):
+            tsched.step(epoch + idx / iters)
+            want = opt.param_groups[0]["lr"]
+            got = float(sched(epoch * iters + idx))
+            assert abs(got - want) < 1e-9, (epoch, idx, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Metrics vs sklearn
+# ---------------------------------------------------------------------------
+
+
+def test_reference_metrics_match_sklearn(rng):
+    from sklearn.metrics import f1_score, precision_score, recall_score
+
+    true = rng.integers(0, 7, 200)
+    pred = rng.integers(0, 7, 200)
+    u, a, f, p, _ = metrics.reference_metrics(true, pred)
+    assert abs(u - recall_score(true, pred, average="macro")) < 1e-12
+    assert abs(a - recall_score(true, pred, average="micro")) < 1e-12
+    assert abs(f - f1_score(true, pred, average="macro")) < 1e-12
+    assert abs(p - precision_score(true, pred, average="macro", zero_division=0)) < 1e-12
+
+
+def test_fusion_metric_matches_classification_report(rng):
+    from sklearn.metrics import classification_report
+
+    true = rng.integers(0, 7, 300)
+    pred = rng.integers(0, 7, 300)
+    rep = classification_report(true, pred, output_dict=True, zero_division=0)
+    want = np.zeros(3)
+    for cl in range(1, 7):
+        for i, m in enumerate(["precision", "f1-score", "recall"]):
+            want[i] += rep[str(cl)][m]
+    want /= 6
+    got = metrics.fusion_metric(true, pred)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_ccc():
+    t = np.array([1.0, 2, 3, 4, 5])
+    assert abs(metrics.ccc(t, t) - 1.0) < 1e-12
+    assert metrics.ccc(t, t[::-1]) < 0
+
+
+# ---------------------------------------------------------------------------
+# Sharded training smoke (8 virtual CPU devices)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_trainer_smoke_sharded(rng):
+    from avcer_tpu.core.config import MeshConfig, OptimConfig, TrainConfig
+    from avcer_tpu.models.audio_heads import ExprModel
+    from avcer_tpu.models.wav2vec2 import Wav2Vec2Config
+    from avcer_tpu.train.trainer import Trainer
+
+    assert jax.device_count() == 8, "conftest must force 8 CPU devices"
+    w2v2 = Wav2Vec2Config(
+        hidden_size=64, num_layers=2, num_heads=4, intermediate_size=128,
+        conv_dim=(16,) * 7,
+    )
+    model = ExprModel(variant="v3", num_classes=8, wav2vec2_config=w2v2,
+                      dtype=jnp.float32)
+    cfg = TrainConfig(
+        batch_size=8, epochs=1, mesh=MeshConfig(data=4, model=2),
+        optim=OptimConfig(lr=1e-3),
+    )
+    trainer = Trainer(model, cfg, iters_per_epoch=2, unfreeze_last_n=1,
+                      wav2vec2_layers=2)
+    x = rng.normal(size=(8, 17600)).astype(np.float32)
+    y = rng.integers(0, 8, 8)
+    state = trainer.init_state(x)
+    p0 = jax.tree.map(np.asarray, state.params)
+
+    def loader():
+        for _ in range(2):
+            yield x, y
+
+    state, stats = trainer.run_epoch(state, loader(), epoch=0, train=True)
+    assert np.isfinite(stats["loss"])
+    # trainable head moved, frozen wav2vec2 layer 0 did not
+    head_before = p0["feature_downsample"]["kernel"]
+    head_after = np.asarray(state.params["feature_downsample"]["kernel"])
+    assert not np.allclose(head_before, head_after)
+    frozen_before = p0["wav2vec2"]["layers_0"]["attention_q_proj"]["kernel"]
+    frozen_after = np.asarray(
+        state.params["wav2vec2"]["layers_0"]["attention_q_proj"]["kernel"]
+    )
+    np.testing.assert_array_equal(frozen_before, frozen_after)
+    # eval
+    state, estats = trainer.run_epoch(state, loader(), epoch=0, train=False)
+    assert 0 <= estats["accuracy"] <= 1
+    assert trainer.maybe_update_best(state, estats, 0)
+    trainer.write_stats_csv()

@@ -279,15 +279,68 @@ class TwinFPN(nn.Module):
         return [o1, o2, o3]
 
 
+class TVStyleBottleneck(nn.Module):
+    """torchvision ResNet v1.5 bottleneck: stride on the 3x3 conv, BN eps 1e-5,
+    state_dict names conv1/bn1/conv2/bn2/conv3/bn3/downsample.{0,1}."""
+
+    def __init__(self, in_ch, planes, stride=1, downsample=False):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_ch, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.downsample = (
+            nn.Sequential(
+                nn.Conv2d(in_ch, planes * 4, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(planes * 4),
+            )
+            if downsample
+            else None
+        )
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        h = F.relu(self.bn1(self.conv1(x)))
+        h = F.relu(self.bn2(self.conv2(h)))
+        h = self.bn3(self.conv3(h))
+        return F.relu(h + idn)
+
+
+class TVStyleResNet50Body(nn.Module):
+    """torchvision-resnet50-compatible backbone emitting layer2/3/4 features
+    with torchvision state_dict names (what Resnet50_Final.pth contains)."""
+
+    def __init__(self):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        in_ch = 64
+        for li, (blocks, planes) in enumerate(zip((3, 4, 6, 3), (64, 128, 256, 512))):
+            stride = 1 if li == 0 else 2
+            layer = []
+            for bi in range(blocks):
+                s = stride if bi == 0 else 1
+                ds = bi == 0 and (s != 1 or in_ch != planes * 4)
+                layer.append(TVStyleBottleneck(in_ch, planes, s, ds))
+                in_ch = planes * 4
+            setattr(self, f"layer{li + 1}", nn.Sequential(*layer))
+
+    def forward(self, x):
+        h = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+        h = self.layer1(h)
+        c2 = self.layer2(h)
+        c3 = self.layer3(c2)
+        c4 = self.layer4(c3)
+        return {"1": c2, "2": c3, "3": c4}
+
+
 class TwinRetinaFace(nn.Module):
     def __init__(self):
         super().__init__()
-        import torchvision.models as tvm
-        from torchvision.models._utils import IntermediateLayerGetter
-
-        self.body = IntermediateLayerGetter(
-            tvm.resnet50(weights=None), {"layer2": 1, "layer3": 2, "layer4": 3}
-        )
+        self.body = TVStyleResNet50Body()
         self.fpn = TwinFPN([512, 1024, 2048], 256)
         self.ssh1 = TwinSSH(256, 256)
         self.ssh2 = TwinSSH(256, 256)
