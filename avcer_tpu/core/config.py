@@ -113,6 +113,10 @@ class PipelineConfig:
     save_face_crops: bool = False
     save_probs: bool = True
     save_plot: bool = True
+    #: Grad-CAM heatmaps for step frames (run.py:214-215 flag_heatmaps /
+    #: model_heatmaps). "" = off; "static" | "dynamic" choose which model's
+    #: argmax class drives the CAM (get_prob_video.py:131-136).
+    heatmaps: str = ""
     weights_dir: str = "weights"
 
     def to_json(self, **kw: Any) -> str:

@@ -201,6 +201,11 @@ class Pipeline:
         )
         timings["visual"] = time.perf_counter() - t0
 
+        if self.cfg.heatmaps and path_save and plan.step_frames.size:
+            self._save_heatmaps(
+                crops, stat_probs_p, dyn_logits_s, plan, name_video, path_save
+            )
+
         t0 = time.perf_counter()
         audio_logits = self.audio.run(audio_windows)
         timings["audio"] = time.perf_counter() - t0
@@ -230,6 +235,43 @@ class Pipeline:
         if path_save:
             self.save_outputs(clip, path_save)
         return clip
+
+    # ------------------------------------------------------------------
+    def _save_heatmaps(
+        self, crops: np.ndarray, stat_probs_p: np.ndarray,
+        dyn_logits_s: np.ndarray, plan, name_video: str, path_save: str,
+    ) -> None:
+        """Grad-CAM overlays for step frames (get_prob_video.py:131-152:
+        heatmaps are generated on the dynamic cadence; the CAM class is the
+        argmax of the chosen model; overlays saved as jpgs under
+        heatmaps_<model>/)."""
+        import cv2
+
+        from avcer_tpu.utils.gradcam import render_heatmap
+
+        mode = self.cfg.heatmaps
+        out_dir = os.path.join(path_save, name_video, f"heatmaps_{mode}")
+        os.makedirs(out_dir, exist_ok=True)
+        step_crop_idx = plan.step_frames  # indices into present-crop arrays
+        if mode == "dynamic":
+            classes = dyn_logits_s.argmax(-1)
+        else:
+            classes = stat_probs_p[step_crop_idx].argmax(-1)
+        # map present-array index -> original frame number for filenames
+        present_frames = np.nonzero(plan.present)[0]
+        bs = 32
+        for s in range(0, len(step_crop_idx), bs):
+            idx = step_crop_idx[s : s + bs]
+            batch = crops[idx]
+            masks = self.visual.gradcam(batch, classes[s : s + len(idx)])
+            for j, ci in enumerate(idx):
+                frame_no = present_frames[ci]
+                overlay = render_heatmap(
+                    masks[j], batch[j], use_rgb=False, image_weight=0.8
+                )
+                cv2.imwrite(
+                    os.path.join(out_dir, f"{frame_no:06d}.jpg"), overlay
+                )
 
     # ------------------------------------------------------------------
     def save_outputs(self, clip: ClipResult, path_save: str) -> None:

@@ -124,6 +124,35 @@ class VisualStage:
     def _lstm_impl(self, variables: dict, windows: jax.Array):
         return self.lstm_model.apply(variables, windows).astype(jnp.float32)
 
+    def gradcam(
+        self, crops: np.ndarray, class_idx: np.ndarray
+    ) -> np.ndarray:
+        """Grad-CAM masks for a crop batch (get_prob_video.py:131-152 path).
+        Returns [B, h4, w4] normalized masks; render with utils.gradcam."""
+        from avcer_tpu.utils.gradcam import gradcam_masks
+
+        if not hasattr(self, "_jit_act4"):
+            def act4_fn(variables, x):
+                _logits, _feats, act4 = self.static_model.apply(
+                    variables, vggface_normalize(x), return_act4=True
+                )
+                return act4.astype(jnp.float32)
+
+            self._jit_act4 = jax.jit(act4_fn)
+        act4 = self._jit_act4(self.static_variables, jnp.asarray(crops))
+        params = {
+            "fc1": jax.tree.map(
+                lambda x: x.astype(jnp.float32),
+                self.static_variables["params"]["fc1"],
+            ),
+            "fc2": jax.tree.map(
+                lambda x: x.astype(jnp.float32),
+                self.static_variables["params"]["fc2"],
+            ),
+        }
+        masks = gradcam_masks(act4, params, jnp.asarray(class_idx))
+        return np.asarray(masks)
+
     def run_static(self, crops: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """All present-face crops [P, 224, 224, 3] -> (probs [P, 7], feats [P, 512]).
         Fixed-shape batches; ALL batches dispatch before the first fetch so

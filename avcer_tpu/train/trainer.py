@@ -287,6 +287,74 @@ class Trainer:
         return False
 
     # ------------------------------------------------------------------
+    def save_checkpoint(self, state: TrainState, epoch: int, tag: str = "latest") -> str:
+        """Orbax checkpoint of {params, batch_stats, opt_state, step, epoch} —
+        the resume capability the reference lacks (SURVEY.md §5: it only
+        saves best-metric weights, net_trainer.py:273-287, with no
+        auto-resume)."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.log_dir, "ckpt", tag))
+        payload = {
+            "params": jax.tree.map(np.asarray, state.params),
+            "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+            "opt_state": jax.tree.map(
+                lambda x: np.asarray(x) if hasattr(x, "shape") else x, state.opt_state
+            ),
+            "step": np.asarray(state.step),
+            "epoch": np.asarray(epoch),
+        }
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
+        return path
+
+    def restore_checkpoint(self, state: TrainState, tag: str = "latest") -> tuple[TrainState, int]:
+        """Restore into an initialized state (shapes/treedef must match)."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.log_dir, "ckpt", tag))
+        ckptr = ocp.StandardCheckpointer()
+        target = {
+            "params": jax.tree.map(np.asarray, state.params),
+            "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+            "opt_state": jax.tree.map(
+                lambda x: np.asarray(x) if hasattr(x, "shape") else x, state.opt_state
+            ),
+            "step": np.asarray(state.step),
+            "epoch": np.asarray(0),
+        }
+        restored = ckptr.restore(path, target)
+        new_state = TrainState(
+            params=jax.tree.map(jnp.asarray, restored["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, restored["batch_stats"]),
+            opt_state=jax.tree.map(
+                lambda x: jnp.asarray(x) if hasattr(x, "shape") else x,
+                restored["opt_state"],
+            ),
+            step=jnp.asarray(restored["step"]),
+        )
+        return new_state, int(restored["epoch"])
+
+    def write_confusion_matrix(self, true: np.ndarray, pred: np.ndarray,
+                               epoch: int, phase: str) -> Optional[str]:
+        """Per-epoch confusion-matrix artifact (net_trainer.py:250-317 writes
+        SVGs; we write SVG via matplotlib)."""
+        if true.size == 0:
+            return None
+        from avcer_tpu.train import metrics as m
+        from avcer_tpu.utils import viz
+
+        n = self.cfg.num_classes
+        cm = m.confusion(true, pred, n)
+        out_dir = os.path.join(self.log_dir, "confusion")
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"{phase}_epoch_{epoch:03d}.svg")
+        viz.plot_conf_matrix(cm, [str(i) for i in range(n)], save_path=path,
+                             title=f"{phase} epoch {epoch}")
+        return path
+
+    # ------------------------------------------------------------------
     def write_stats_csv(self) -> str:
         import pandas as pd
 

@@ -1,0 +1,130 @@
+"""Aux subsystem tests: Grad-CAM math, TensorBoard writer framing, trainer
+checkpoint/resume, S3FD shapes/priors, head pose, keras LSTM handled
+elsewhere."""
+
+import os
+import struct
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def test_gradcam_masks_analytic(rng):
+    """For a linear head, d(prob_c)/d(act4) has a closed form; check the CAM
+    pipeline normalizes and weights channels correctly."""
+    from avcer_tpu.utils.gradcam import gradcam_masks
+
+    b, h, w, c = 2, 3, 3, 4
+    act4 = jnp.asarray(rng.random((b, h, w, c)).astype(np.float32))
+    params = {
+        "fc1": {"kernel": jnp.asarray(rng.normal(size=(c, 5)).astype(np.float32)),
+                "bias": jnp.zeros(5, jnp.float32)},
+        "fc2": {"kernel": jnp.asarray(rng.normal(size=(5, 7)).astype(np.float32)),
+                "bias": jnp.zeros(7, jnp.float32)},
+    }
+    cls = jnp.asarray(np.array([0, 3]))
+    masks = np.asarray(gradcam_masks(act4, params, cls))
+    assert masks.shape == (b, h, w)
+    assert (masks >= 0).all() and masks.max() <= 1.0 + 1e-6
+    # every mask peaks at 1 unless all-zero
+    for i in range(b):
+        assert abs(masks[i].max() - 1.0) < 1e-5 or masks[i].max() == 0.0
+
+
+def test_tb_writer_record_framing(tmp_path):
+    """The event file must be valid TFRecord framing with correct masked
+    crc32c and parse back to our scalar payload."""
+    from avcer_tpu.utils import tb
+
+    w = tb.SummaryWriter(str(tmp_path))
+    w.add_scalar("loss", 0.5, 3)
+    w.close()
+    files = [f for f in os.listdir(tmp_path) if f.startswith("events")]
+    assert len(files) == 1
+    data = open(tmp_path / files[0], "rb").read()
+    # walk records
+    off, records = 0, []
+    while off < len(data):
+        (length,) = struct.unpack("<Q", data[off : off + 8])
+        (hcrc,) = struct.unpack("<I", data[off + 8 : off + 12])
+        assert hcrc == tb._masked_crc(data[off : off + 8])
+        payload = data[off + 12 : off + 12 + length]
+        (pcrc,) = struct.unpack("<I", data[off + 12 + length : off + 16 + length])
+        assert pcrc == tb._masked_crc(payload)
+        records.append(payload)
+        off += 16 + length
+    assert len(records) == 2  # version event + scalar event
+    assert b"brain.Event:2" in records[0]
+    assert b"loss" in records[1]
+    # simple_value float 0.5 little-endian
+    assert struct.pack("<f", 0.5) in records[1]
+
+
+def test_crc32c_known_vector():
+    from avcer_tpu.utils.tb import crc32c
+
+    # RFC 3720 test vector: 32 bytes of zeros -> 0x8A9136AA
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"123456789") == 0xE3069283
+
+
+def test_trainer_checkpoint_roundtrip(tmp_path, rng):
+    from avcer_tpu.core.config import MeshConfig, TrainConfig
+    from avcer_tpu.models.temporal_lstm import TemporalLSTM
+    from avcer_tpu.train.trainer import Trainer
+
+    class LSTMWrap(TemporalLSTM):
+        def __call__(self, x, deterministic=True, return_features=False):
+            out = super().__call__(x)
+            return (out, out) if return_features else out
+
+    model = LSTMWrap(7, dtype=jnp.float32)
+    cfg = TrainConfig(num_classes=7, batch_size=4, mesh=MeshConfig(data=1),
+                      log_root=str(tmp_path))
+    tr = Trainer(model, cfg, iters_per_epoch=1, unfreeze_last_n=0,
+                 wav2vec2_layers=0, log_dir=str(tmp_path))
+    x = rng.normal(size=(4, 10, 512)).astype(np.float32)
+    y = rng.integers(0, 7, 4)
+    state = tr.init_state(x)
+    state, _, _ = tr.train_step(state, x, y, jax.random.PRNGKey(0))
+    path = tr.save_checkpoint(state, epoch=5)
+    assert os.path.isdir(path)
+    state2 = tr.init_state(x)
+    restored, epoch = tr.restore_checkpoint(state2)
+    assert epoch == 5
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["fc"]["kernel"]),
+        np.asarray(state.params["fc"]["kernel"]),
+    )
+    assert int(restored.step) == int(state.step)
+
+
+def test_s3fd_shapes_and_priors(rng):
+    from avcer_tpu.models.s3fd import S3FDNet, s3fd_priors
+
+    model = S3FDNet(dtype=jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 128, 128, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    loc, conf = jax.jit(model.apply)(variables, x)
+    priors = s3fd_priors((128, 128))
+    assert loc.shape[1] == conf.shape[1] == priors.shape[0]
+    np.testing.assert_allclose(np.asarray(conf).sum(-1), 1.0, atol=1e-5)
+
+
+def test_head_pose_frontal(rng):
+    from avcer_tpu.pipeline.head_pose import GENERIC_5PT_SHAPE, HeadPoseEstimator
+
+    est = HeadPoseEstimator()
+    # project the frontal mean shape with a simple pinhole camera
+    w, h, f = 640, 480, 640
+    pts3 = GENERIC_5PT_SHAPE.copy()
+    pts3[:, 2] += 600.0  # push in front of the camera
+    proj = np.stack(
+        [f * pts3[:, 0] / pts3[:, 2] + w / 2, f * pts3[:, 1] / pts3[:, 2] + h / 2],
+        axis=1,
+    )
+    pose = est(proj, w, h)
+    assert pose is not None
+    pitch, yaw, roll = pose
+    assert abs(yaw) < 15 and abs(roll) < 15
