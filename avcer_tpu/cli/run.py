@@ -18,13 +18,20 @@ log = logging.getLogger("avcer_tpu")
 
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
-    cfg, path_video, path_save = pipeline_config_from_args(argv)
+    cfg, path_video, path_save, profile_dir = pipeline_config_from_args(argv)
     # flagship defaults match the reference __main__ (run.py:346-355):
     # published Dirichlet weights + Rule 1 masking
     pipe = build_pipeline(cfg)
 
     print(f"Face images detection in video: {path_video}")
-    clip = pipe.run(path_video, path_save)
+    if profile_dir:
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            clip = pipe.run(path_video, path_save)
+        print(f"Profiler trace written to {profile_dir}")
+    else:
+        clip = pipe.run(path_video, path_save)
     print("Compound expression prediction")
     rtf = clip.rtf
     for stage, sec in clip.timings.items():

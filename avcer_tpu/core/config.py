@@ -165,16 +165,32 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
     p = argparse.ArgumentParser(description="avcer-tpu run")
     p.add_argument("--path_video", type=str, default="video/")
     p.add_argument("--path_save", type=str, default="report/")
-    p.add_argument("--long_side", type=int, default=640)
+    p.add_argument("--long_side", type=int, default=640,
+                   help="detector bucket; 0 = native resolution (parity mode)")
     p.add_argument("--no_published_weights", action="store_true")
     p.add_argument("--ce_weights_type", action="store_true")
     p.add_argument("--no_ce_mask", action="store_true")
     p.add_argument("--save_face_crops", action="store_true")
+    p.add_argument("--heatmaps", choices=["", "static", "dynamic"], default="",
+                   help="write Grad-CAM overlays for step frames")
+    p.add_argument("--audio_classes", type=int, choices=[7, 8], default=8)
+    p.add_argument("--audio_head", choices=["v1", "v2", "v3"], default=None,
+                   help="default: v3 for 8-class, v2 for 7-class (reference pairing)")
+    p.add_argument("--audio_padding", choices=["mean", "constant", "repeat"],
+                   default="mean")
+    p.add_argument("--audio_step", type=float, default=0.5)
     p.add_argument("--weights_dir", type=str, default="weights")
     p.add_argument("--data_parallel", type=int, default=1)
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="write a jax.profiler trace of the run here")
     a = p.parse_args(argv)
+    head = a.audio_head or ("v3" if a.audio_classes == 8 else "v2")
     cfg = PipelineConfig(
         detector=DetectorConfig(long_side=a.long_side),
+        audio=AudioConfig(
+            num_classes=a.audio_classes, head=head,
+            padding=a.audio_padding, step_sec=a.audio_step,
+        ),
         fusion=FusionConfig(
             use_published_weights=not a.no_published_weights,
             ce_weights_type=a.ce_weights_type,
@@ -182,6 +198,7 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
         ),
         mesh=MeshConfig(data=a.data_parallel),
         save_face_crops=a.save_face_crops,
+        heatmaps=a.heatmaps,
         weights_dir=a.weights_dir,
     )
-    return cfg, a.path_video, a.path_save
+    return cfg, a.path_video, a.path_save, a.profile_dir

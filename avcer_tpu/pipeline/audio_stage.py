@@ -90,4 +90,5 @@ class AudioStage:
             handles.append((self._jit_forward(self.variables, jnp.asarray(chunk)), n))
         if not handles:
             return np.zeros((0, self.cfg.num_classes), np.float32)
-        return np.concatenate([np.asarray(h)[:n] for h, n in handles])
+        # single fused device->host fetch (per-transfer latency dominates)
+        return np.asarray(jnp.concatenate([h[:n] for h, n in handles], axis=0))

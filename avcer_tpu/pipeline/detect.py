@@ -93,12 +93,15 @@ class DetectStage:
             frames = np.pad(frames, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         return frames, 1.0
 
-    def dispatch(self, frames: np.ndarray) -> tuple[jax.Array, float]:
+    def dispatch(self, frames: np.ndarray) -> tuple[jax.Array, float, jax.Array]:
         """Async: enqueue detection for a batch, return (device packed
-        result, scale). Does NOT block on the device."""
+        result, scale, device frames). Does NOT block on the device. The
+        device frame buffer is returned so downstream stages can crop
+        on-device without re-uploading pixels."""
         prepped, scale = self.prepare_batch(frames)
-        packed = self._jit_forward(self.variables, jnp.asarray(prepped))
-        return packed, scale
+        frames_dev = jnp.asarray(prepped)
+        packed = self._jit_forward(self.variables, frames_dev)
+        return packed, scale, frames_dev
 
     @staticmethod
     def unpack(packed_np: np.ndarray, scale: float) -> Detections:
@@ -112,5 +115,5 @@ class DetectStage:
 
     def __call__(self, frames: np.ndarray) -> Detections:
         """frames: [B, H, W, 3] uint8 BGR at native resolution (sync API)."""
-        packed, scale = self.dispatch(frames)
+        packed, scale, _ = self.dispatch(frames)
         return self.unpack(np.asarray(packed, np.float32), scale)

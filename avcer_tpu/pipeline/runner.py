@@ -148,7 +148,7 @@ class Pipeline:
                 present.append(got_target)
 
         for frames_np, n_valid in reader.batches(cfg.batch_size):
-            packed, scale = self.detect.dispatch(frames_np)  # async enqueue
+            packed, scale, _ = self.detect.dispatch(frames_np)  # async enqueue
             pending.append((frames_np, n_valid, packed, scale))
             if len(pending) > 2:  # keep 2 batches in flight on device
                 drain(pending.pop(0))
@@ -161,6 +161,108 @@ class Pipeline:
         return np.asarray(present, bool), crops_arr
 
     # ------------------------------------------------------------------
+    def detect_track_device(
+        self, reader: media.VideoReader
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Fast path: frames stay ON DEVICE; detection results come back in
+        ONE fetch per chunk; face crops are gathered on device and fed
+        straight into the CNN (runner.run wires that). Returns
+        (present [T], stat_probs [P, C], feats [P, 512]).
+
+        Rationale: through a tunneled PJRT the per-transfer latency is
+        ~0.5-1 s regardless of size, so the reference-style
+        per-frame/per-batch round trips dominate everything. This path does
+        2 synchronous fetches per ~512-frame chunk total.
+        """
+        import jax.numpy as jnp
+
+        cfg = self.cfg.detector
+        self.tracker.reset()
+        w_native, h_native = reader.meta.width, reader.meta.height
+        present_all: list[bool] = []
+        stat_list, feats_list = [], []
+
+        pending: list[tuple[Any, int, Any, float]] = []  # packed, n_valid, frames_dev, scale
+        frames_in_pending = 0
+        chunk_cap = max(cfg.batch_size, 512)
+
+        def flush_chunk() -> None:
+            nonlocal pending, frames_in_pending
+            if not pending:
+                return
+            packed_all = np.asarray(
+                jnp.concatenate([p for p, _, _, _ in pending], axis=0),
+                np.float32,
+            )  # ONE fetch: [nb*B, K, 16]
+            frames_dev = jnp.concatenate([f for _, _, f, _ in pending], axis=0)
+            scale = pending[0][3]
+            n_valids = [n for _, n, _, _ in pending]
+            bsz = pending[0][2].shape[0]
+            lb_h, lb_w = frames_dev.shape[1], frames_dev.shape[2]
+
+            present_idx: list[int] = []
+            boxes_lb: list[np.ndarray] = []
+            row = 0
+            for bi, n_valid in enumerate(n_valids):
+                det = self.detect.unpack(packed_all[bi * bsz : (bi + 1) * bsz], scale)
+                for i in range(n_valid):
+                    kept = det.keep[i]
+                    frame_dets = np.concatenate(
+                        [det.boxes[i][kept], det.scores[i][kept][:, None]], axis=1
+                    )
+                    tids = self.tracker(frame_dets)
+                    got = False
+                    for det_row, tid in zip(frame_dets, tids):
+                        if tid != 1 or got:
+                            continue
+                        # clamp in native coords (get_face_images.py:53-56),
+                        # then map to the on-device letterbox frame
+                        x1, y1, x2, y2 = det_row[:4].astype(int)
+                        x1, y1 = max(0, x1), max(0, y1)
+                        x2 = min(w_native - 1, x2)
+                        y2 = min(h_native - 1, y2)
+                        if x2 <= x1 or y2 <= y1:
+                            continue
+                        b = np.round(np.array([x1, y1, x2, y2]) * scale).astype(np.int32)
+                        b[0] = min(b[0], lb_w - 2)
+                        b[1] = min(b[1], lb_h - 2)
+                        b[2] = max(b[2], b[0] + 1)
+                        b[3] = max(b[3], b[1] + 1)
+                        present_idx.append(bi * bsz + i)
+                        boxes_lb.append(b)
+                        got = True
+                    present_all.append(got)
+                    row += 1
+            if present_idx:
+                stat, feats = self.visual.run_static_from_frames(
+                    frames_dev,
+                    np.asarray(present_idx, np.int32),
+                    np.stack(boxes_lb),
+                )  # second fetch
+                stat_list.append(stat)
+                feats_list.append(feats)
+            pending = []
+            frames_in_pending = 0
+
+        for frames_np, n_valid in reader.batches(cfg.batch_size):
+            packed, scale, frames_dev = self.detect.dispatch(frames_np)
+            pending.append((packed, n_valid, frames_dev, scale))
+            frames_in_pending += frames_np.shape[0]
+            if frames_in_pending >= chunk_cap:
+                flush_chunk()
+        flush_chunk()
+
+        stat = (
+            np.concatenate(stat_list)
+            if stat_list
+            else np.zeros((0, self.cfg.visual.num_classes), np.float32)
+        )
+        feats = (
+            np.concatenate(feats_list) if feats_list else np.zeros((0, 512), np.float32)
+        )
+        return np.asarray(present_all, bool), stat, feats
+
+    # ------------------------------------------------------------------
     def run(self, path_video: str, path_save: str = "", wav: Optional[np.ndarray] = None) -> ClipResult:
         reader = media.VideoReader(path_video)
         meta = reader.meta
@@ -169,8 +271,16 @@ class Pipeline:
 
         timings: dict[str, float] = {}
         t0 = time.perf_counter()
-        save_dir = path_save if self.cfg.save_face_crops and path_save else None
-        present, crops = self.detect_and_crop(reader, save_dir)
+        # the host-crop path materializes uint8 crops (needed for the jpg
+        # dump and heatmap overlays); the device path never moves pixels back
+        use_host_crops = bool(self.cfg.save_face_crops or self.cfg.heatmaps)
+        crops = None
+        if use_host_crops:
+            save_dir = path_save if self.cfg.save_face_crops and path_save else None
+            present, crops = self.detect_and_crop(reader, save_dir)
+            stat_probs_p = feats_p = None
+        else:
+            present, stat_probs_p, feats_p = self.detect_track_device(reader)
         reader.release()
         total_frames = meta.total_frames or len(present)
         if len(present) < total_frames:  # decoder returned fewer frames
@@ -192,7 +302,8 @@ class Pipeline:
         timings["audio_prep"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        stat_probs_p, feats_p = self.visual.run_static(crops)
+        if stat_probs_p is None:
+            stat_probs_p, feats_p = self.visual.run_static(crops)
         step = registry.dynamic_step(meta.fps)
         plan = build_temporal_plan(present[:total_frames], step)
         dyn_logits_s = self.visual.run_dynamic(feats_p, plan)
@@ -287,7 +398,9 @@ class Pipeline:
         )
 
         # audio CSV: window rows replicated per covered frame name
-        # (get_prob_audio_8_cl.py:94-101, 125-136)
+        # (get_prob_audio_8_cl.py:94-101, 125-136); the 7-class front-end
+        # writes under an audio_{padding}_{step} subdir
+        # (get_prob_audio_7_cl.py:153)
         emo_audio = list(
             registry.AUDIO_EMOTIONS_8
             if self.cfg.audio.num_classes == 8
@@ -298,7 +411,13 @@ class Pipeline:
         adf["frames"] = [
             str(i).zfill(6) + ".jpg" for i in clip.audio_frame_ids
         ]
-        adf.to_csv(os.path.join(path_save, f"audio__{clip.name_video}.csv"), index=False)
+        audio_dir = path_save
+        if self.cfg.audio.num_classes != 8:
+            audio_dir = os.path.join(
+                path_save, f"audio_{self.cfg.audio.padding}_{self.cfg.audio.step_sec}"
+            )
+            os.makedirs(audio_dir, exist_ok=True)
+        adf.to_csv(os.path.join(audio_dir, f"audio__{clip.name_video}.csv"), index=False)
 
         fcfg = self.cfg.fusion
         if self.cfg.save_probs and clip.compound is not None:

@@ -111,6 +111,7 @@ class VisualStage:
         self.lstm_variables = lstm_variables
         self.batch_size = batch_size
         self._jit_static = jax.jit(self._static_impl)
+        self._jit_static_from_frames = jax.jit(self._static_from_frames_impl)
         self._jit_lstm = jax.jit(self._lstm_impl)
 
     def _static_impl(self, variables: dict, crops: jax.Array) -> jax.Array:
@@ -120,6 +121,18 @@ class VisualStage:
         logits, feats = self.static_model.apply(variables, x)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return jnp.concatenate([probs, feats.astype(jnp.float32)], axis=-1)
+
+    def _static_from_frames_impl(
+        self, variables: dict, frames: jax.Array, idx: jax.Array, boxes: jax.Array
+    ) -> jax.Array:
+        """Device-resident path: gather [B] frames from the on-device frame
+        buffer, crop+resize+normalize+CNN in one fused program — zero crop
+        bytes cross the host link."""
+        from avcer_tpu.ops.image import crop_and_resize_nearest
+
+        batch = frames[idx]  # [B, H, W, 3]
+        crops = crop_and_resize_nearest(batch, boxes, 224)
+        return self._static_impl(variables, crops)
 
     def _lstm_impl(self, variables: dict, windows: jax.Array):
         return self.lstm_model.apply(variables, windows).astype(jnp.float32)
@@ -169,7 +182,38 @@ class VisualStage:
             if n < bs:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
             handles.append((self._jit_static(self.static_variables, jnp.asarray(chunk)), n))
-        packed = np.concatenate([np.asarray(h)[:n] for h, n in handles])
+        packed = np.asarray(jnp.concatenate([h[:n] for h, n in handles], axis=0))
+        return packed[:, :nc], packed[:, nc:]
+
+    def run_static_from_frames(
+        self,
+        frames_dev: "jax.Array",  # [T, H, W, 3] uint8, device-resident
+        present_idx: np.ndarray,  # [P] frame indices with a target face
+        boxes: np.ndarray,  # [P, 4] int32 crop boxes in frame coords
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Device-crop path: one fused gather+crop+CNN program per sub-batch,
+        ONE fetch for the whole clip chunk."""
+        p = present_idx.shape[0]
+        nc = self.static_model.num_classes
+        if p == 0:
+            return np.zeros((0, nc), np.float32), np.zeros((0, 512), np.float32)
+        bs = self.batch_size
+        handles = []
+        for s in range(0, p, bs):
+            idx = present_idx[s : s + bs]
+            bxs = boxes[s : s + bs]
+            n = idx.shape[0]
+            if n < bs:
+                idx = np.concatenate([idx, np.repeat(idx[-1:], bs - n)])
+                bxs = np.concatenate([bxs, np.repeat(bxs[-1:], bs - n, axis=0)])
+            out = self._jit_static_from_frames(
+                self.static_variables, frames_dev,
+                jnp.asarray(idx.astype(np.int32)), jnp.asarray(bxs.astype(np.int32)),
+            )
+            handles.append((out, n))
+        packed = np.asarray(
+            jnp.concatenate([h[:n] for h, n in handles], axis=0)
+        )  # single device->host fetch
         return packed[:, :nc], packed[:, nc:]
 
     def run_dynamic(self, feats: np.ndarray, plan: TemporalPlan) -> np.ndarray:
@@ -187,7 +231,7 @@ class VisualStage:
             if n < bs:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
             handles.append((self._jit_lstm(self.lstm_variables, jnp.asarray(chunk)), n))
-        return np.concatenate([np.asarray(h)[:n] for h, n in handles])
+        return np.asarray(jnp.concatenate([h[:n] for h, n in handles], axis=0))
 
     def expand_to_frames(
         self,

@@ -23,6 +23,22 @@ def round_math(val: float) -> int:
     return int(math.ceil(whole))
 
 
+def array_to_bytes(x: np.ndarray) -> bytes:
+    """np array -> npy bytes (common_utils.py:133-145)."""
+    import io
+
+    buf = io.BytesIO()
+    np.save(buf, x, allow_pickle=True)
+    return buf.getvalue()
+
+
+def bytes_to_array(b: bytes) -> np.ndarray:
+    """npy bytes -> np array (common_utils.py:148-157)."""
+    import io
+
+    return np.load(io.BytesIO(b), allow_pickle=True)
+
+
 def majority_voting(
     targets: list[int],
     predicts: np.ndarray,  # [N, C] probabilities or logits

@@ -160,13 +160,15 @@ class StubDetect:
         self.h, self.w = h, w
 
     def dispatch(self, frames):
+        import jax.numpy as jnp
+
         b, k = frames.shape[0], 8
         packed = np.zeros((b, k, 16), np.float32)
         packed[:, 0, 0:4] = [self.w * 0.25, self.h * 0.25,
                              self.w * 0.75, self.h * 0.75]
         packed[:, 0, 4] = 0.95
         packed[:, 0, 5] = 1.0
-        return packed, 1.0
+        return packed, 1.0, jnp.asarray(frames)
 
     def unpack(self, packed_np, scale):
         from avcer_tpu.pipeline.detect import DetectStage
@@ -175,7 +177,8 @@ class StubDetect:
 
 
 @pytest.mark.slow
-def test_end_to_end_synthetic_clip(tmp_path, rng):
+@pytest.mark.parametrize("path_mode", ["device", "host"])
+def test_end_to_end_synthetic_clip(tmp_path, rng, path_mode):
     import cv2
 
     from avcer_tpu.core.config import (AudioConfig, DetectorConfig,
@@ -203,6 +206,8 @@ def test_end_to_end_synthetic_clip(tmp_path, rng):
         audio=AudioConfig(batch_size=4),
         weights_dir=str(tmp_path / "nonexistent_weights"),
         save_plot=False,
+        save_face_crops=(path_mode == "host"),
+        heatmaps="static" if path_mode == "host" else "",
     )
     tiny_w2v2 = Wav2Vec2Config(
         hidden_size=64, num_layers=2, num_heads=4, intermediate_size=128,
@@ -225,3 +230,9 @@ def test_end_to_end_synthetic_clip(tmp_path, rng):
     assert os.path.exists(
         tmp_path / "out" / "DF_C_EXPR_DB" / "C_EXPR_DB_av_False_True_clip.txt"
     )
+    if path_mode == "host":
+        # crop dump parity: <save>/<video>/<tid-1:02d>/<frame:06d>.jpg
+        crop_dir = tmp_path / "out" / "clip" / "00"
+        assert crop_dir.is_dir() and len(list(crop_dir.glob("*.jpg"))) == n_frames
+        hm_dir = tmp_path / "out" / "clip" / "heatmaps_static"
+        assert hm_dir.is_dir() and len(list(hm_dir.glob("*.jpg"))) > 0
