@@ -46,6 +46,9 @@ class DetectorConfig:
     #: run the detector at fixed shape (TPU-friendly). 0 = native resolution
     #: padded to a bucket (parity mode).
     long_side: int = 640
+    #: Wire format for frame upload: "i420" halves host->device bytes
+    #: (lossless vs 4:2:0 video sources); "bgr" ships raw pixels.
+    transfer_format: str = "i420"
     #: IoU tracker threshold (get_face_images.py:32).
     tracker_iou: float = 0.4
     min_face_size: float = 0.0

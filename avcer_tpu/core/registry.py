@@ -109,6 +109,39 @@ AV_WEIGHTS_8CL: np.ndarray = np.array(
     dtype=np.float64,
 )
 
+#: Published video-only (VS, VD) weights, rows = emotions in fusion order
+#: plus the "Mouth open" auxiliary row (/root/reference/src/
+#: get_weights_matrices.py:5-16).
+V_WEIGHTS: np.ndarray = np.array(
+    [
+        [0.42633145, 0.57366855],
+        [0.57803352, 0.42196648],
+        [0.01878466, 0.98121534],
+        [0.86451425, 0.13548575],
+        [0.16464752, 0.83535248],
+        [0.03786653, 0.96213347],
+        [0.81048546, 0.18951454],
+        [0.36499999999999994, 0.22999999999999998],
+    ],
+    dtype=np.float64,
+)
+
+#: Published AV weights for the 7-class audio front-end (VS, VD, A),
+#: rows = emotions + "Mouth open" row (get_weights_matrices.py:28-39).
+AV_WEIGHTS_7CL: np.ndarray = np.array(
+    [
+        [0.85806901, 0.11491265, 0.02701833],
+        [0.2579578, 0.46222294, 0.27981925],
+        [0.2579578, 0.62411413, 0.17148297],
+        [0.72010502, 0.16716238, 0.1127326],
+        [0.62082661, 0.31962795, 0.05954545],
+        [0.06281922, 0.16603196, 0.77114883],
+        [0.70875895, 0.24433032, 0.04691073],
+        [0.060000000000000005, 0.21000000000000002, 0.01],
+    ],
+    dtype=np.float64,
+)
+
 # ---------------------------------------------------------------------------
 # Image preprocessing constants
 # ---------------------------------------------------------------------------

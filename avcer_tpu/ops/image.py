@@ -117,6 +117,55 @@ def retinaface_normalize(frames_bgr: jax.Array) -> jax.Array:
 
 def letterbox_params(h: int, w: int, long_side: int) -> tuple[int, int, float]:
     """Target (new_h, new_w, scale) resizing so max(new_h, new_w) == long_side,
-    aspect preserved (framework addition: fixed detector input bucket)."""
+    aspect preserved (framework addition: fixed detector input bucket).
+    Dims are rounded up to even (I420 transfer needs even planes)."""
     scale = long_side / max(h, w)
-    return max(1, round(h * scale)), max(1, round(w * scale)), scale
+    nh = max(2, round(h * scale))
+    nw = max(2, round(w * scale))
+    return nh + (nh % 2), nw + (nw % 2), scale
+
+
+# ---------------------------------------------------------------------------
+# I420 wire format (host<->device transfer compression, 2x fewer bytes)
+# ---------------------------------------------------------------------------
+#
+# The tunneled PJRT link makes raw-frame upload the pipeline bottleneck;
+# video sources are 4:2:0-coded anyway, so shipping frames as I420 halves
+# the bytes with no information loss relative to the codec. Host side uses
+# cv2 (BT.601 studio swing, top-left chroma subsample — verified against
+# cv2.COLOR_BGR2YUV_I420 in tests); the device reconstructs BGR inside the
+# detect program (within +-1 of cv2.COLOR_YUV2BGR_I420 rounding).
+
+
+def bgr_batch_to_i420(frames: np.ndarray) -> np.ndarray:
+    """[B, H, W, 3] uint8 BGR -> [B, H*3//2, W] uint8 I420 (host, cv2)."""
+    import cv2
+
+    b, h, w = frames.shape[:3]
+    out = np.empty((b, h * 3 // 2, w), np.uint8)
+    for i in range(b):
+        out[i] = cv2.cvtColor(frames[i], cv2.COLOR_BGR2YUV_I420)
+    return out
+
+
+def i420_to_bgr_device(x: jax.Array, h: int, w: int) -> jax.Array:
+    """[B, H*3//2, W] uint8 I420 -> [B, H, W, 3] uint8 BGR (device, jittable).
+
+    BT.601 studio-swing inverse (cv2.COLOR_YUV2BGR_I420 semantics, +-1)."""
+    xf = x.astype(jnp.float32)
+    y = xf[:, :h, :]
+    qh, qw = h // 2, w // 2
+    # chroma planes are packed contiguously after the Y plane; when h/2*w/2
+    # is not a multiple of w the U plane ends mid-row, so slice flat
+    chroma = xf[:, h:, :].reshape(x.shape[0], -1)
+    qsize = qh * qw
+    u = chroma[:, :qsize].reshape(-1, qh, qw)
+    v = chroma[:, qsize : 2 * qsize].reshape(-1, qh, qw)
+    uf = jnp.repeat(jnp.repeat(u, 2, axis=1), 2, axis=2) - 128.0
+    vf = jnp.repeat(jnp.repeat(v, 2, axis=1), 2, axis=2) - 128.0
+    yb = 1.164 * (y - 16.0)
+    b = yb + 2.018 * uf
+    g = yb - 0.391 * uf - 0.813 * vf
+    r = yb + 1.596 * vf
+    bgr = jnp.stack([b, g, r], axis=-1)
+    return jnp.clip(jnp.round(bgr), 0.0, 255.0).astype(jnp.uint8)

@@ -46,13 +46,25 @@ class DetectStage:
         self.variables = variables
         self._jit_forward = jax.jit(self._forward_impl)
 
-    def _forward_impl(self, variables: dict, frames: jax.Array) -> jax.Array:
-        """frames: [B, H, W, 3] uint8 BGR (already resized/padded).
+    def _forward_impl(
+        self, variables: dict, wire: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        """wire: [B, H, W, 3] uint8 BGR, or [B, H*3//2, W] uint8 I420
+        (transfer_format) — already resized/padded.
 
-        Returns ONE packed [B, K, 16] float32 array (boxes 0:4, score 4,
-        keep 5, landmarks 6:16) — a single fused device->host transfer per
-        batch instead of four (transfer latency through the PJRT tunnel
-        dominates small fetches)."""
+        Returns (packed [B, K, 16] float32 (boxes 0:4, score 4, keep 5,
+        landmarks 6:16), frames_bgr [B, H, W, 3] uint8). The packed array is
+        a single fused device->host transfer per batch instead of four
+        (transfer latency through the PJRT tunnel dominates small fetches);
+        frames_bgr stays device-resident for the crop stage."""
+        from avcer_tpu.ops.image import i420_to_bgr_device
+
+        if wire.ndim == 3:  # I420 wire format
+            h = wire.shape[1] * 2 // 3
+            w = wire.shape[2]
+            frames = i420_to_bgr_device(wire, h, w)
+        else:
+            frames = wire
         h, w = frames.shape[1], frames.shape[2]
         x = retinaface_normalize(frames)
         loc, conf, landms = self.model.apply(variables, x)
@@ -68,10 +80,11 @@ class DetectStage:
         )
         keep = nms_ops.nms_mask(cand_boxes, valid, self.cfg.nms_thresh)
         cand_landms = jnp.take_along_axis(landms, idx[..., None], axis=1)
-        return jnp.concatenate(
+        packed = jnp.concatenate(
             [cand_boxes, cand_scores[..., None],
              keep.astype(jnp.float32)[..., None], cand_landms], axis=-1,
         )
+        return packed, frames
 
     def prepare_batch(self, frames: np.ndarray) -> tuple[np.ndarray, float]:
         """Host prep: letterbox to the configured bucket (or pad to /32).
@@ -95,12 +108,18 @@ class DetectStage:
 
     def dispatch(self, frames: np.ndarray) -> tuple[jax.Array, float, jax.Array]:
         """Async: enqueue detection for a batch, return (device packed
-        result, scale, device frames). Does NOT block on the device. The
+        result, scale, device BGR frames). Does NOT block on the device. The
         device frame buffer is returned so downstream stages can crop
-        on-device without re-uploading pixels."""
+        on-device without re-uploading pixels. Frames cross the link in the
+        configured wire format (I420 halves the bytes)."""
+        from avcer_tpu.ops.image import bgr_batch_to_i420
+
         prepped, scale = self.prepare_batch(frames)
-        frames_dev = jnp.asarray(prepped)
-        packed = self._jit_forward(self.variables, frames_dev)
+        if self.cfg.transfer_format == "i420":
+            wire = bgr_batch_to_i420(prepped)
+        else:
+            wire = prepped
+        packed, frames_dev = self._jit_forward(self.variables, jnp.asarray(wire))
         return packed, scale, frames_dev
 
     @staticmethod

