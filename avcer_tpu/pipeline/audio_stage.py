@@ -70,10 +70,89 @@ class AudioStage:
         )
         self.variables = variables
         self._jit_forward = jax.jit(self._forward_impl)
+        self._jit_forward_from_wav = jax.jit(
+            self._forward_from_wav_impl, static_argnames=("padding",)
+        )
 
     def _forward_impl(self, variables: dict, windows: jax.Array) -> jax.Array:
         x = audio_ops.feature_extractor_normalize(windows)
         return self.model.apply(variables, x).astype(jnp.float32)
+
+    def _extract_impl(
+        self,
+        wav: jax.Array,  # [Lpad] float32, device-resident, zero-padded
+        wav_len: jax.Array,  # scalar int32: true length
+        starts: jax.Array,  # [B] int32 window starts
+        padding: str = "mean",
+    ) -> jax.Array:
+        """On-device window extraction + padding (data/utils.py:63-89
+        semantics): the overlapping 4 s / 0.5 s windows share ~87% of their
+        samples, so uploading the raw wav ONCE and gathering on device cuts
+        the audio upload ~8x."""
+        window = int(self.cfg.window_sec * self.cfg.sample_rate)
+        offs = jnp.arange(window, dtype=jnp.int32)[None, :]  # [1, L]
+        idx = starts[:, None] + offs  # [B, L]
+        in_range = idx < wav_len
+        vals = wav[jnp.clip(idx, 0, wav.shape[0] - 1)] * in_range
+        n = jnp.clip(wav_len - starts, 0, window)[:, None]  # [B, 1] valid count
+        if padding == "repeat":
+            safe_n = jnp.maximum(n, 1)
+            rep_idx = starts[:, None] + offs % safe_n
+            fill_vals = wav[jnp.clip(rep_idx, 0, wav.shape[0] - 1)]
+            return jnp.where(offs < n, vals, fill_vals) * (n > 0)
+        if padding == "mean":
+            fill = jnp.sum(vals, axis=1, keepdims=True) / jnp.maximum(n, 1)
+        else:  # constant
+            fill = jnp.zeros_like(n, dtype=wav.dtype)
+        return jnp.where(offs < n, vals, fill) * (n > 0)
+
+    def _forward_from_wav_impl(
+        self, variables: dict, wav: jax.Array, wav_len: jax.Array,
+        starts: jax.Array, padding: str = "mean",
+    ) -> jax.Array:
+        out = self._extract_impl(wav, wav_len, starts, padding)
+        x = audio_ops.feature_extractor_normalize(out)
+        return self.model.apply(variables, x).astype(jnp.float32)
+
+    def run_from_wav(self, wav: np.ndarray, fps: float) -> tuple[np.ndarray, AudioWindows]:
+        """Device-side windowing path: one wav upload, one logits fetch.
+        Returns (logits [W, C], AudioWindows metadata for frame mapping)."""
+        window = int(self.cfg.window_sec * self.cfg.sample_rate)
+        step = int(self.cfg.step_sec * self.cfg.sample_rate)
+        spans = audio_ops.enumerate_windows(len(wav), window, step)
+        frame_ids, window_of_row = [], []
+        for wi, (s, e) in enumerate(spans):
+            names = audio_ops.window_frame_names(s, e, self.cfg.sample_rate, fps)
+            frame_ids.extend(names)
+            window_of_row.extend([wi] * len(names))
+        meta = AudioWindows(
+            batch=np.zeros((0, 0), np.float32),  # windows live on device
+            spans=spans,
+            frame_ids=np.asarray(frame_ids, np.int64),
+            window_of_row=np.asarray(window_of_row, np.int64),
+        )
+        wav_len = len(wav)
+        # pad the device wav so every gather index is in bounds
+        wav_dev = jnp.asarray(
+            np.pad(np.asarray(wav, np.float32), (0, window + 1))
+        )
+        starts_all = np.asarray([s for s, _ in spans], np.int32)
+        bs = self.cfg.batch_size
+        handles = []
+        for i in range(0, len(starts_all), bs):
+            chunk = starts_all[i : i + bs]
+            n = len(chunk)
+            if n < bs:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], bs - n)])
+            out = self._jit_forward_from_wav(
+                self.variables, wav_dev, jnp.asarray(wav_len, jnp.int32),
+                jnp.asarray(chunk), padding=self.cfg.padding,
+            )
+            handles.append((out, n))
+        if not handles:
+            return np.zeros((0, self.cfg.num_classes), np.float32), meta
+        logits = np.asarray(jnp.concatenate([h[:n] for h, n in handles], axis=0))
+        return logits, meta
 
     def run(self, windows: AudioWindows) -> np.ndarray:
         """[W, L] -> [W, num_classes] raw logits. All batches dispatch before

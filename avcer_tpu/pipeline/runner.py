@@ -181,6 +181,9 @@ class Pipeline:
         w_native, h_native = reader.meta.width, reader.meta.height
         present_all: list[bool] = []
         stat_list, feats_list = [], []
+        timing = os.environ.get("AVCER_TIMING") == "1"
+        tacc: dict[str, float] = {"read": 0.0, "dispatch": 0.0, "fetch": 0.0,
+                                  "track": 0.0, "cnn": 0.0}
 
         pending: list[tuple[Any, int, Any, float]] = []  # packed, n_valid, frames_dev, scale
         frames_in_pending = 0
@@ -190,11 +193,14 @@ class Pipeline:
             nonlocal pending, frames_in_pending
             if not pending:
                 return
+            t0 = time.perf_counter()
             packed_all = np.asarray(
                 jnp.concatenate([p for p, _, _, _ in pending], axis=0),
                 np.float32,
             )  # ONE fetch: [nb*B, K, 16]
             frames_dev = jnp.concatenate([f for _, _, f, _ in pending], axis=0)
+            tacc["fetch"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
             scale = pending[0][3]
             n_valids = [n for _, n, _, _ in pending]
             bsz = pending[0][2].shape[0]
@@ -233,6 +239,8 @@ class Pipeline:
                         got = True
                     present_all.append(got)
                     row += 1
+            tacc["track"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
             if present_idx:
                 stat, feats = self.visual.run_static_from_frames(
                     frames_dev,
@@ -241,16 +249,25 @@ class Pipeline:
                 )  # second fetch
                 stat_list.append(stat)
                 feats_list.append(feats)
+            tacc["cnn"] += time.perf_counter() - t0
             pending = []
             frames_in_pending = 0
 
+        t0 = time.perf_counter()
         for frames_np, n_valid in reader.batches(cfg.batch_size):
+            tacc["read"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
             packed, scale, frames_dev = self.detect.dispatch(frames_np)
             pending.append((packed, n_valid, frames_dev, scale))
+            tacc["dispatch"] += time.perf_counter() - t0
             frames_in_pending += frames_np.shape[0]
             if frames_in_pending >= chunk_cap:
                 flush_chunk()
+            t0 = time.perf_counter()
         flush_chunk()
+        if timing:
+            log.warning("detect_track_device timing: %s",
+                        {k: round(v, 3) for k, v in tacc.items()})
 
         stat = (
             np.concatenate(stat_list)
@@ -298,7 +315,6 @@ class Pipeline:
                     int(total_frames / max(meta.fps, 1) * self.cfg.audio.sample_rate),
                     np.float32,
                 )
-        audio_windows = make_windows(wav, self.cfg.audio, meta.fps)
         timings["audio_prep"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -318,7 +334,8 @@ class Pipeline:
             )
 
         t0 = time.perf_counter()
-        audio_logits = self.audio.run(audio_windows)
+        # device-side windowing: one wav upload, one logits fetch
+        audio_logits, audio_windows = self.audio.run_from_wav(wav, meta.fps)
         timings["audio"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
