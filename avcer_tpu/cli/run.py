@@ -23,6 +23,24 @@ def main(argv=None) -> int:
     # published Dirichlet weights + Rule 1 masking
     pipe = build_pipeline(cfg)
 
+    import glob
+    import os
+
+    if os.path.isdir(path_video):  # batch serving over a directory of clips
+        paths = sorted(
+            p for p in glob.glob(os.path.join(path_video, "*"))
+            if p.lower().endswith((".mp4", ".avi", ".mkv", ".mov", ".webm"))
+        )
+        if not paths:
+            print(f"no videos found under {path_video}")
+            return 1
+        clips = pipe.run_many(paths, path_save)
+        total_video = sum(c.total_frames / max(c.fps, 1) for c in clips)
+        total_wall = sum(sum(c.timings.values()) for c in clips)
+        print(f"Processed {len(clips)} clips: "
+              f"{total_video / max(total_wall, 1e-9):.2f} video-sec/sec")
+        return 0
+
     print(f"Face images detection in video: {path_video}")
     if profile_dir:
         import jax

@@ -52,7 +52,7 @@ class DetectorConfig:
     #: IoU tracker threshold (get_face_images.py:32).
     tracker_iou: float = 0.4
     min_face_size: float = 0.0
-    batch_size: int = 16
+    batch_size: int = 32
 
 
 @dataclass(frozen=True)

@@ -43,7 +43,15 @@ class TorchBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
         )
         if use_running_average:
-            mean, var = ra_mean.value, ra_var.value
+            # inference: fold stats+affine into one scale/shift in the compute
+            # dtype so XLA fuses it with the surrounding convs (keeping this
+            # in fp32 forces bf16<->fp32 casts on the full activation tensor)
+            inv = jax.lax.rsqrt(ra_var.value + self.eps) * scale
+            shift = bias - ra_mean.value * inv
+            return (
+                x.astype(self.dtype) * inv.astype(self.dtype)
+                + shift.astype(self.dtype)
+            )
         else:
             reduce_axes = tuple(range(x.ndim - 1))
             xf = x.astype(jnp.float32)

@@ -82,6 +82,32 @@ class VideoReader:
         self.cap.release()
 
 
+def prefetch_iter(it: Iterator, depth: int = 2) -> Iterator:
+    """Run an iterator in a background thread with a bounded queue — overlaps
+    host video decode (cv2 releases the GIL) with device dispatch on this
+    single-core host."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer() -> None:
+        try:
+            for item in it:
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
 def read_wav(path: str) -> tuple[np.ndarray, int]:
     """PCM wav -> (float32 [channels, samples] in [-1, 1], sample_rate)."""
     with wave.open(path, "rb") as w:

@@ -254,7 +254,7 @@ class Pipeline:
             frames_in_pending = 0
 
         t0 = time.perf_counter()
-        for frames_np, n_valid in reader.batches(cfg.batch_size):
+        for frames_np, n_valid in media.prefetch_iter(reader.batches(cfg.batch_size)):
             tacc["read"] += time.perf_counter() - t0
             t0 = time.perf_counter()
             packed, scale, frames_dev = self.detect.dispatch(frames_np)
@@ -363,6 +363,18 @@ class Pipeline:
         if path_save:
             self.save_outputs(clip, path_save)
         return clip
+
+    # ------------------------------------------------------------------
+    def run_many(
+        self, paths: list[str], path_save: str = ""
+    ) -> list[ClipResult]:
+        """Serve a batch of clips. Compiled programs are shared across clips
+        (shapes are bucketed), so only the first clip pays compile cost; the
+        reference re-runs its whole serial pipeline per video."""
+        results = []
+        for p in paths:
+            results.append(self.run(p, path_save))
+        return results
 
     # ------------------------------------------------------------------
     def _save_heatmaps(

@@ -103,7 +103,7 @@ def main() -> None:
         make_clip(video, wavp, seconds=seconds)
 
     cfg = PipelineConfig(
-        detector=DetectorConfig(long_side=640, batch_size=8),
+        detector=DetectorConfig(long_side=640, batch_size=32),
         weights_dir=os.path.join(workdir, "no_weights"),
         save_probs=False,
         save_plot=False,
@@ -135,6 +135,84 @@ def main() -> None:
                     "video_seconds": video_sec}),
         file=sys.stderr,
     )
+
+    # Secondary context metric: pure device throughput of the model stack
+    # with inputs already resident (what this pipeline does on a directly
+    # attached v5e, where PCIe h2d is ~10 GB/s instead of this dev harness's
+    # tunneled PJRT link).
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        inner = pipe.detect.inner
+        frames = np.random.default_rng(1).integers(
+            0, 255, (32, 360, 640, 3), np.uint8
+        )
+        packed, scale, frames_dev = inner.dispatch(frames)
+        jax.block_until_ready(packed)
+        # time the jitted program on device-resident wire data (no upload)
+        from avcer_tpu.ops.image import bgr_batch_to_i420
+
+        wire = (
+            jnp.asarray(bgr_batch_to_i420(frames))
+            if inner.cfg.transfer_format == "i420"
+            else jnp.asarray(frames)
+        )
+        jax.block_until_ready(wire)
+        reps = 8
+        out = inner._jit_forward(inner.variables, wire)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = inner._jit_forward(inner.variables, wire)
+        jax.block_until_ready(out)
+        per_frame_detect = (time.perf_counter() - t0) / (reps * 32)
+        # CNN on device-resident frames
+        idx = np.arange(32, dtype=np.int32)
+        boxes = np.tile(np.array([[160, 90, 480, 270]], np.int32), (32, 1))
+        out = pipe.visual._jit_static_from_frames(
+            pipe.visual.static_variables, frames_dev, jnp.asarray(idx), jnp.asarray(boxes)
+        )
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = pipe.visual._jit_static_from_frames(
+                pipe.visual.static_variables, frames_dev, jnp.asarray(idx), jnp.asarray(boxes)
+            )
+        jax.block_until_ready(out)
+        per_frame_cnn = (time.perf_counter() - t0) / (reps * 32)
+        # audio: one 4 s window per 0.5 s of video -> 2 windows per video-sec
+        wav_dev = jnp.asarray(np.random.default_rng(2).normal(size=80_001).astype(np.float32))
+        starts = jnp.asarray(np.arange(16, dtype=np.int32) * 8000)
+        aout = pipe.audio._jit_forward_from_wav(
+            pipe.audio.variables, wav_dev, jnp.asarray(16_000, jnp.int32), starts,
+            padding="mean",
+        )
+        jax.block_until_ready(aout)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            aout = pipe.audio._jit_forward_from_wav(
+                pipe.audio.variables, wav_dev, jnp.asarray(16_000, jnp.int32), starts,
+                padding="mean",
+            )
+        jax.block_until_ready(aout)
+        per_window_audio = (time.perf_counter() - t0) / (reps * 16)
+        fps = 25.0
+        sec_per_videosec = (per_frame_detect + per_frame_cnn) * fps + per_window_audio * 2
+        print(
+            json.dumps(
+                {
+                    "device_only_throughput": round(1.0 / sec_per_videosec, 2),
+                    "unit": "video-sec/sec/chip (inputs device-resident)",
+                    "per_frame_detect_ms": round(per_frame_detect * 1e3, 3),
+                    "per_frame_cnn_ms": round(per_frame_cnn * 1e3, 3),
+                    "per_window_audio_ms": round(per_window_audio * 1e3, 3),
+                }
+            ),
+            file=sys.stderr,
+        )
+    except Exception as e:  # context metric only — never fail the bench
+        print(json.dumps({"device_only_metric_error": str(e)}), file=sys.stderr)
 
 
 if __name__ == "__main__":
