@@ -60,6 +60,7 @@ class AudioStage:
         cfg: AudioConfig,
         wav2vec2_config: Wav2Vec2Config | None = None,
         dtype=jnp.bfloat16,
+        mesh=None,
     ):
         self.cfg = cfg
         self.model = ExprModel(
@@ -68,6 +69,11 @@ class AudioStage:
             wav2vec2_config=wav2vec2_config or Wav2Vec2Config(),
             dtype=dtype,
         )
+        self.mesh = mesh
+        if mesh is not None:
+            from avcer_tpu.parallel import mesh as mesh_lib
+
+            variables = jax.device_put(variables, mesh_lib.replicated(mesh))
         self.variables = variables
         self._jit_forward = jax.jit(self._forward_impl)
         self._jit_forward_from_wav = jax.jit(

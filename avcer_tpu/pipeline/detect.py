@@ -40,11 +40,27 @@ class Detections:
 
 
 class DetectStage:
-    def __init__(self, cfg: DetectorConfig, variables: dict[str, Any], dtype=jnp.bfloat16):
+    def __init__(
+        self, cfg: DetectorConfig, variables: dict[str, Any], dtype=jnp.bfloat16,
+        mesh=None,
+    ):
         self.cfg = cfg
         self.model = RetinaFace(backbone=cfg.backbone, dtype=dtype)
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-chip inference: replicate weights, shard the frame batch
+            from avcer_tpu.parallel import mesh as mesh_lib
+
+            variables = jax.device_put(variables, mesh_lib.replicated(mesh))
         self.variables = variables
         self._jit_forward = jax.jit(self._forward_impl)
+
+    def _shard_input(self, x: jax.Array | np.ndarray) -> jax.Array:
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from avcer_tpu.parallel import mesh as mesh_lib
+
+        return jax.device_put(x, mesh_lib.batch_sharding(self.mesh))
 
     def _forward_impl(
         self, variables: dict, wire: jax.Array
@@ -119,7 +135,7 @@ class DetectStage:
             wire = bgr_batch_to_i420(prepped)
         else:
             wire = prepped
-        packed, frames_dev = self._jit_forward(self.variables, jnp.asarray(wire))
+        packed, frames_dev = self._jit_forward(self.variables, self._shard_input(wire))
         return packed, scale, frames_dev
 
     @staticmethod

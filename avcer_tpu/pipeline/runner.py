@@ -77,12 +77,19 @@ class Pipeline:
 
         self.cfg = cfg
         dtype = jnp.bfloat16
-        self.detect = DetectStage(cfg.detector, detect_vars, dtype=dtype)
+        mesh = None
+        if cfg.mesh.data > 1:
+            from avcer_tpu.parallel import mesh as mesh_lib
+
+            mesh = mesh_lib.make_mesh(data=cfg.mesh.data, model=1)
+        self.mesh = mesh
+        self.detect = DetectStage(cfg.detector, detect_vars, dtype=dtype, mesh=mesh)
         self.visual = VisualStage(
             static_vars, lstm_vars, num_classes=cfg.visual.num_classes,
-            dtype=dtype, batch_size=cfg.visual.batch_size,
+            dtype=dtype, batch_size=cfg.visual.batch_size, mesh=mesh,
         )
-        self.audio = AudioStage(audio_vars, cfg.audio, wav2vec2_config, dtype=dtype)
+        self.audio = AudioStage(audio_vars, cfg.audio, wav2vec2_config, dtype=dtype,
+                                mesh=mesh)
         self.tracker = IoUTracker(
             iou_threshold=cfg.detector.tracker_iou,
             minimum_face_size=cfg.detector.min_face_size,

@@ -104,15 +104,29 @@ class VisualStage:
         num_classes: int = 7,
         dtype=jnp.bfloat16,
         batch_size: int = 64,
+        mesh=None,
     ):
         self.static_model = EmotionResNet50(num_classes=num_classes, dtype=dtype)
         self.lstm_model = TemporalLSTM(num_classes=num_classes, dtype=dtype)
+        self.mesh = mesh
+        if mesh is not None:
+            from avcer_tpu.parallel import mesh as mesh_lib
+
+            static_variables = jax.device_put(static_variables, mesh_lib.replicated(mesh))
+            lstm_variables = jax.device_put(lstm_variables, mesh_lib.replicated(mesh))
         self.static_variables = static_variables
         self.lstm_variables = lstm_variables
         self.batch_size = batch_size
         self._jit_static = jax.jit(self._static_impl)
         self._jit_static_from_frames = jax.jit(self._static_from_frames_impl)
         self._jit_lstm = jax.jit(self._lstm_impl)
+
+    def _shard(self, x) -> jax.Array:
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from avcer_tpu.parallel import mesh as mesh_lib
+
+        return jax.device_put(x, mesh_lib.batch_sharding(self.mesh))
 
     def _static_impl(self, variables: dict, crops: jax.Array) -> jax.Array:
         """crops: [B, 224, 224, 3] uint8 BGR -> packed [B, 7 + 512]
@@ -181,7 +195,7 @@ class VisualStage:
             n = chunk.shape[0]
             if n < bs:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
-            handles.append((self._jit_static(self.static_variables, jnp.asarray(chunk)), n))
+            handles.append((self._jit_static(self.static_variables, self._shard(chunk)), n))
         packed = np.asarray(jnp.concatenate([h[:n] for h, n in handles], axis=0))
         return packed[:, :nc], packed[:, nc:]
 
@@ -230,7 +244,7 @@ class VisualStage:
             n = chunk.shape[0]
             if n < bs:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], bs - n, axis=0)])
-            handles.append((self._jit_lstm(self.lstm_variables, jnp.asarray(chunk)), n))
+            handles.append((self._jit_lstm(self.lstm_variables, self._shard(chunk)), n))
         return np.asarray(jnp.concatenate([h[:n] for h, n in handles], axis=0))
 
     def expand_to_frames(

@@ -272,3 +272,31 @@ def test_detect_stage_wire_formats(rng):
         assert det.boxes.shape == (2, 64, 4) and det.scores.shape == (2, 64)
         assert (np.diff(det.scores, axis=1) <= 1e-6).all()
         assert np.isfinite(det.boxes).all()
+
+
+@pytest.mark.slow
+def test_sharded_inference_stages(rng):
+    """Data-parallel inference over the virtual 8-device CPU mesh: the
+    detect stage shards the frame batch on 'data'; results must equal the
+    unsharded run."""
+    import jax
+    import jax.numpy as jnp
+
+    from avcer_tpu.core.checkpoint import init_variables
+    from avcer_tpu.core.config import DetectorConfig
+    from avcer_tpu.models.retinaface import RetinaFace
+    from avcer_tpu.parallel import mesh as mesh_lib
+    from avcer_tpu.pipeline.detect import DetectStage
+
+    assert jax.device_count() == 8
+    mesh = mesh_lib.make_mesh(data=8, model=1)
+    model = RetinaFace(backbone="resnet50", dtype=jnp.float32)
+    variables = init_variables(model, (jnp.zeros((1, 64, 64, 3), jnp.float32),))
+    frames = rng.integers(0, 255, (8, 100, 130, 3), dtype=np.uint8)
+    cfg = DetectorConfig(long_side=64, batch_size=8, transfer_format="bgr")
+    sharded = DetectStage(cfg, variables, dtype=jnp.float32, mesh=mesh)
+    plain = DetectStage(cfg, variables, dtype=jnp.float32)
+    det_s = sharded(frames)
+    det_p = plain(frames)
+    np.testing.assert_allclose(det_s.scores, det_p.scores, atol=1e-4)
+    np.testing.assert_allclose(det_s.boxes, det_p.boxes, atol=5e-2)
