@@ -230,3 +230,43 @@ def test_mouth_open_threshold():
     flags = mouth_open_from_areas(areas)
     assert flags[:40].sum() == 0
     assert flags[-10:].all()
+
+
+# ---------------------------------------------------------------------------
+# FE windowing (spec: abaw_fe_dataset.py:103-175)
+# ---------------------------------------------------------------------------
+
+
+def test_fe_windows_exhaustive_and_downsample(rng):
+    from avcer_tpu.train.data import fe_dataset
+
+    fr = 30.0
+    n = 200
+    ids = np.arange(1, n + 1)
+    labels = rng.integers(0, 9, n)
+    mouth = rng.integers(0, 2, n)
+    ws = fe_dataset.make_fe_windows("f.txt", ids, labels, mouth, fr,
+                                    shift=2, max_w_len=4, num_classes=8)
+    # exhaustive: windows at every shift over the whole timeline (label>7
+    # windows dropped)
+    assert len(ws) >= 1
+    for w in ws:
+        assert 0 <= w.label <= 7
+        # 4 s at NEW_FPS=5 -> 20 downsampled labels, 4 per-second flags
+        assert len(w.downsampled_labels) == 20
+        assert len(w.mouth_open) == 4
+        assert set(np.unique(w.mouth_open)) <= {0, 1}
+    # first window starts at frame 1
+    assert ws[0].start_f == 1
+
+
+def test_fe_downsample_indices_spec():
+    from avcer_tpu.train.data.fe_dataset import downsample_indices
+    from avcer_tpu.utils.rounding import round_math
+
+    # direct statement of abaw_fe_dataset.py:116-124
+    fr, maxw = 29.97, 4
+    r = round_math(fr)
+    want = [round_math(v) for v in np.arange(0, r * maxw - 1, r / 5, dtype=float)]
+    assert downsample_indices(fr, maxw) == want
+    assert len(want) == 20
