@@ -181,6 +181,25 @@ def main() -> None:
             )
         jax.block_until_ready(out)
         per_frame_cnn = (time.perf_counter() - t0) / (reps * 32)
+        # crop-CNN batch-size sweep (informs VisualConfig.batch_size)
+        sweep = {}
+        for bs in (64, 128, 256):
+            idx_b = np.arange(bs, dtype=np.int32) % 32
+            boxes_b = np.tile(np.array([[160, 90, 480, 270]], np.int32), (bs, 1))
+            o = pipe.visual._jit_static_from_frames(
+                pipe.visual.static_variables, frames_dev,
+                jnp.asarray(idx_b), jnp.asarray(boxes_b),
+            )
+            jax.block_until_ready(o)
+            t0 = time.perf_counter()
+            for _ in range(4):
+                o = pipe.visual._jit_static_from_frames(
+                    pipe.visual.static_variables, frames_dev,
+                    jnp.asarray(idx_b), jnp.asarray(boxes_b),
+                )
+            jax.block_until_ready(o)
+            sweep[bs] = round((time.perf_counter() - t0) / (4 * bs) * 1e3, 3)
+        print(json.dumps({"cnn_ms_per_frame_by_batch": sweep}), file=sys.stderr)
         # audio: one 4 s window per 0.5 s of video -> 2 windows per video-sec
         wav_dev = jnp.asarray(np.random.default_rng(2).normal(size=80_001).astype(np.float32))
         starts = jnp.asarray(np.arange(16, dtype=np.int32) * 8000)
