@@ -86,7 +86,7 @@ def main(argv=None) -> int:
         corpus=a.corpus, save_root=a.save_root,
     )
     printable = {k: (v.tolist() if isinstance(v, np.ndarray) else v) for k, v in res.items()}
-    print(json.dumps(printable, indent=2))
+    print(json.dumps(printable))
     return 0
 
 

@@ -14,7 +14,6 @@ Two input modes (DetectorConfig.long_side):
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 from typing import Any
 

@@ -33,7 +33,7 @@ from avcer_tpu.core import registry
 from avcer_tpu.core.config import PipelineConfig
 from avcer_tpu.fusion import compound as compound_mod
 from avcer_tpu.pipeline import media
-from avcer_tpu.pipeline.audio_stage import AudioStage, make_windows
+from avcer_tpu.pipeline.audio_stage import AudioStage
 from avcer_tpu.pipeline.detect import DetectStage
 from avcer_tpu.pipeline.tracker import IoUTracker
 from avcer_tpu.pipeline.visual import VisualStage, build_temporal_plan
