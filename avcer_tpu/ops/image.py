@@ -80,8 +80,18 @@ def crop_and_resize_nearest(
     cols = x1[:, None] + (two_i_plus_1[None, :] * bw[:, None]) // (2 * out_size)
     rows = jnp.clip(rows, 0, h - 1)  # [B, S]
     cols = jnp.clip(cols, 0, w - 1)
-    batch = jnp.arange(frames.shape[0])[:, None, None]
-    return frames[batch, rows[:, :, None], cols[:, None, :], :]
+    # two single-axis gathers lower to cheap dynamic row/col selects on TPU;
+    # a combined 2-D fancy index becomes one general gather with per-pixel
+    # index tuples, which is dramatically slower
+    c = frames.shape[-1]
+    picked_rows = jnp.take_along_axis(
+        frames, rows[:, :, None, None].astype(jnp.int32), axis=1
+    )  # [B, S, W, C]
+    return jnp.take_along_axis(
+        picked_rows,
+        jnp.broadcast_to(cols[:, None, :, None], (cols.shape[0], out_size, out_size, 1)).astype(jnp.int32),
+        axis=2,
+    ).reshape(cols.shape[0], out_size, out_size, c)
 
 
 def clamp_boxes(boxes: np.ndarray, width: int, height: int) -> np.ndarray:
