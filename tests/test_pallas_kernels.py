@@ -35,3 +35,16 @@ def test_pallas_lstm_matches_scan(rng):
     packed = pack_lstm_params(variables)
     got = np.asarray(pallas_lstm_forward(jnp.asarray(x), *packed, interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_pallas_mha_matches_xla(rng):
+    from avcer_tpu.models.layers import scaled_dot_attention
+    from avcer_tpu.ops.pallas.attention_kernel import pallas_mha
+
+    b, h, t, d = 2, 4, 33, 16
+    q = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, t, d)).astype(np.float32))
+    want = np.asarray(scaled_dot_attention(q, k, v))
+    got = np.asarray(pallas_mha(q, k, v, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
