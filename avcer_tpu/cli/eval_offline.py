@@ -65,7 +65,36 @@ def main(argv=None) -> int:
     p.add_argument("--corpus", default="ABAW")
     p.add_argument("--optimize_weights", action="store_true")
     p.add_argument("--num_dirichlet", type=int, default=10_000)
+    p.add_argument(
+        "--sweep_audio_dirs", nargs="*", default=None,
+        help="audio cache subdirs (e.g. audio_mean_0.5 audio_repeat_0.5) to "
+             "sweep like get_pred_audio.py:265-312; default: the single "
+             "'audio' dir",
+    )
     a = p.parse_args(argv)
+
+    if a.sweep_audio_dirs:
+        import shutil
+        import tempfile
+
+        results = {}
+        for sub in a.sweep_audio_dirs:
+            # materialize a preds_root view whose 'audio' dir is the sweep dir
+            view = tempfile.mkdtemp(prefix="avcer_sweep_")
+            os.symlink(os.path.join(a.preds_root, "video"), os.path.join(view, "video"))
+            os.symlink(os.path.join(a.preds_root, sub), os.path.join(view, "audio"))
+            try:
+                trues, stat, dyn, audio = gather_corpus(a.ann_root, view)
+                aligned = offline_eval.AlignedPredictions(trues, stat, dyn, audio)
+                res = offline_eval.evaluate_fusion(
+                    aligned, registry.AV_WEIGHTS_8CL, (1, 1, 1), corpus=a.corpus,
+                )
+                results[sub] = {k: v for k, v in res.items()
+                                if isinstance(v, float)}
+            finally:
+                shutil.rmtree(view, ignore_errors=True)
+        print(json.dumps(results))
+        return 0
 
     trues, stat, dyn, audio = gather_corpus(a.ann_root, a.preds_root)
     aligned = offline_eval.AlignedPredictions(trues, stat, dyn, audio)

@@ -364,10 +364,21 @@ class Trainer:
         return path
 
     def write_provenance(self) -> str:
+        """Config + source snapshot of the model/loss classes — the
+        experiment-provenance capability (net_trainer.py:83-91 +
+        data_utils.get_source_code)."""
+        import inspect
+
         os.makedirs(self.log_dir, exist_ok=True)
         path = os.path.join(self.log_dir, "source.log")
         with open(path, "w") as fh:
             fh.write(self.cfg.to_json())
-            fh.write("\n")
-            fh.write(json.dumps({"model": repr(self.model)}, indent=2))
+            fh.write("\n\n")
+            for obj in (type(self.model), loss_lib, type(self)):
+                try:
+                    fh.write(f"##### {getattr(obj, '__name__', obj)} #####\n")
+                    fh.write(inspect.getsource(obj))
+                    fh.write("\n")
+                except (OSError, TypeError):
+                    fh.write(repr(obj) + "\n")
         return path
