@@ -63,6 +63,9 @@ class VisualConfig:
     lstm_window: int = 10
     batch_size: int = 64
     dtype: str = "bfloat16"
+    #: run the dynamic model through the fused Pallas LSTM kernel
+    #: (ops/pallas/lstm_kernel.py) instead of the lax.scan path
+    use_pallas_lstm: bool = False
 
 
 @dataclass(frozen=True)

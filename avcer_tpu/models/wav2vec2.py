@@ -44,6 +44,9 @@ class Wav2Vec2Config:
     num_conv_pos_embeddings: int = 128
     num_conv_pos_embedding_groups: int = 16
     layer_norm_eps: float = 1e-5
+    #: route attention through the fused Pallas MHA kernel
+    #: (ops/pallas/attention_kernel.py) instead of the XLA einsum path
+    use_pallas_attention: bool = False
 
     def num_output_frames(self, num_samples: int) -> int:
         n = num_samples
@@ -135,7 +138,12 @@ class EncoderLayerStableLN(nn.Module):
         q = proj("attention_q_proj", h)
         k = proj("attention_k_proj", h)
         v = proj("attention_v_proj", h)
-        attn = scaled_dot_attention(q, k, v, dtype=self.dtype)
+        if c.use_pallas_attention:
+            from avcer_tpu.ops.pallas.attention_kernel import pallas_mha
+
+            attn = pallas_mha(q, k, v)
+        else:
+            attn = scaled_dot_attention(q, k, v, dtype=self.dtype)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, c.hidden_size)
         attn = nn.Dense(c.hidden_size, dtype=self.dtype, name="attention_out_proj")(attn)
         attn = nn.Dropout(0.1)(attn, deterministic=deterministic)

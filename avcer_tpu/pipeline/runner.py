@@ -87,6 +87,7 @@ class Pipeline:
         self.visual = VisualStage(
             static_vars, lstm_vars, num_classes=cfg.visual.num_classes,
             dtype=dtype, batch_size=cfg.visual.batch_size, mesh=mesh,
+            use_pallas_lstm=cfg.visual.use_pallas_lstm,
         )
         self.audio = AudioStage(audio_vars, cfg.audio, wav2vec2_config, dtype=dtype,
                                 mesh=mesh)
