@@ -129,12 +129,69 @@ def main(argv=None) -> int:
             log.info("epoch %d: %s", epoch, st)
             trainer.write_stats_csv()
     else:
-        raise SystemExit(
-            "dynamic training consumes per-video features; dump them with "
-            "cli.extract_features (or pipeline runs) and use "
-            "window_sequences() + Trainer with models.temporal_lstm"
-        )
+        train_dynamic(a, cfg)
     return 0
+
+
+def train_dynamic(a, cfg):
+    """Train the TemporalLSTM on dumped per-video feature pickles
+    (the legacy Keras-LSTM training capability, src/video/ notebooks +
+    get_models.py:40-59): ``data_root`` holds <name>.npz files with
+    ``features`` [T, 512] and ``labels`` [T] arrays; win=10/step=5 windows
+    with majority labels feed the trainer."""
+    import glob
+    import logging
+
+    import jax
+    import jax.numpy as jnp
+
+    from avcer_tpu.models.temporal_lstm import TemporalLSTM
+    from avcer_tpu.train.data.windowing import majority_label
+    from avcer_tpu.train.trainer import Trainer
+
+    log = logging.getLogger("avcer_tpu")
+    xs, ys = [], []
+    for path in sorted(glob.glob(os.path.join(a.data_root, "*.npz"))):
+        data = np.load(path)
+        feats, labels = data["features"], data["labels"]
+        for s in range(0, len(feats), 5):
+            w = feats[s : s + 10]
+            lw = labels[s : s + 10]
+            if len(w) < 10:
+                w = np.concatenate([w, np.repeat(w[-1:], 10 - len(w), axis=0)])
+                lw = np.concatenate([lw, np.repeat(lw[-1:], 10 - len(lw))])
+            xs.append(w)
+            ys.append(majority_label(lw))
+            if s + 10 >= len(feats):
+                break
+    if not xs:
+        raise SystemExit(f"no .npz feature files under {a.data_root}")
+    x_all = np.stack(xs).astype(np.float32)
+    y_all = np.asarray(ys, np.int32)
+
+    class LSTMWrap(TemporalLSTM):
+        def __call__(self, x, deterministic=True, return_features=False):
+            out = super().__call__(x)
+            return (out, out) if return_features else out
+
+    model = LSTMWrap(7, dtype=jnp.float32)
+    bs = min(cfg.batch_size, len(x_all))
+    trainer = Trainer(model, cfg, iters_per_epoch=max(1, len(x_all) // bs),
+                      unfreeze_last_n=0, wav2vec2_layers=0)
+    state = trainer.init_state(x_all[:bs])
+
+    def loader():
+        order = np.random.default_rng(0).permutation(len(x_all))
+        for s in range(0, len(order) - bs + 1, bs):
+            idx = order[s : s + bs]
+            yield x_all[idx], y_all[idx]
+
+    for epoch in range(cfg.epochs):
+        state, st = trainer.run_epoch(state, loader(), epoch, train=True,
+                                      rng=jax.random.PRNGKey(epoch))
+        log.info("epoch %d: %s", epoch, st)
+        trainer.write_stats_csv()
+    trainer.save_checkpoint(state, cfg.epochs - 1)
 
 
 if __name__ == "__main__":

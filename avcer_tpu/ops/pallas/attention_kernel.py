@@ -48,7 +48,7 @@ def pallas_mha(
     b, h, t, d = q.shape
     grid = (b, h)
     spec = pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0),
-                        memory_space=pltpu.ANY)
+                        memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
         _attn_kernel,

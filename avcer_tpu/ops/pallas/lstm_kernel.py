@@ -8,6 +8,12 @@ final logits — one HBM read of the inputs, one write of the output.
 
 Weights layout: packed (in+hidden, 4*hidden) matrices per layer (i, f, g, o
 gate order), biases folded together (b_ih + b_hh).
+
+Status: validated in interpret mode; the fp32 weight set (~11 MB) currently
+trips the Mosaic TC compiler on v5e (VMEM pressure with double buffering) —
+the production pipeline uses the lax.scan path unless
+VisualConfig.use_pallas_lstm is set. Revisit with bf16 weights + HBM
+residency + async copies.
 """
 
 from __future__ import annotations
@@ -42,18 +48,15 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, wf_ref, bf_ref, out_ref):
     w2 = w2_ref[:].astype(jnp.float32)
     b2 = b2_ref[:].astype(jnp.float32)
 
-    def body(step, carry):
-        h1s, c1s, h2s, c2s = carry
+    zeros1 = jnp.zeros((b, h1), jnp.float32)
+    zeros2 = jnp.zeros((b, h2), jnp.float32)
+    h1s, c1s, h2s, c2s = zeros1, zeros1, zeros2, zeros2
+    # T is static (10) — unroll with static indices (Mosaic has no
+    # dynamic_slice for TC kernels)
+    for step in range(t):
         xt = x[:, step, :]
         h1s, c1s = _lstm_step(xt, h1s, c1s, w1, b1, h1)
         h2s, c2s = _lstm_step(h1s, h2s, c2s, w2, b2, h2)
-        return h1s, c1s, h2s, c2s
-
-    zeros1 = jnp.zeros((b, h1), jnp.float32)
-    zeros2 = jnp.zeros((b, h2), jnp.float32)
-    h1s, c1s, h2s, c2s = jax.lax.fori_loop(
-        0, t, body, (zeros1, zeros1, zeros2, zeros2)
-    )
     logits = jnp.dot(h2s, wf_ref[:].astype(jnp.float32),
                      preferred_element_type=jnp.float32) + bf_ref[:]
     out_ref[:] = logits
@@ -75,8 +78,8 @@ def pallas_lstm_forward(
     return pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((b, c), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 7,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, w1, b1, w2, b2, wf, bf)
 

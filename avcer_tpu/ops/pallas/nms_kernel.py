@@ -21,29 +21,38 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _nms_kernel(boxes_ref, valid_ref, keep_ref, *, iou_thresh: float):
-    boxes = boxes_ref[0].astype(jnp.float32)  # [K, 4]
-    k = boxes.shape[0]
-    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    areas = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
-    xx1 = jnp.maximum(x1[:, None], x1[None, :])
-    yy1 = jnp.maximum(y1[:, None], y1[None, :])
-    xx2 = jnp.minimum(x2[:, None], x2[None, :])
-    yy2 = jnp.minimum(y2[:, None], y2[None, :])
+    """Whole-batch kernel: the [B, K, K] IoU tensor lives in VMEM and the
+    greedy sweep is batch-vectorized (B*K*K fp32 = 0.5 MB at B=32, K=64)."""
+    boxes = boxes_ref[:].astype(jnp.float32)  # [B, K, 4]
+    b, k = boxes.shape[0], boxes.shape[1]
+    x1, y1, x2, y2 = (boxes[..., i] for i in range(4))
+    areas = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)  # [B, K]
+    xx1 = jnp.maximum(x1[:, :, None], x1[:, None, :])
+    yy1 = jnp.maximum(y1[:, :, None], y1[:, None, :])
+    xx2 = jnp.minimum(x2[:, :, None], x2[:, None, :])
+    yy2 = jnp.minimum(y2[:, :, None], y2[:, None, :])
     w = jnp.maximum(0.0, xx2 - xx1 + 1.0)
     h = jnp.maximum(0.0, yy2 - yy1 + 1.0)
     inter = w * h
-    iou = inter / (areas[:, None] + areas[None, :] - inter)  # [K, K]
-    suppress_pair = iou > iou_thresh  # [K, K]
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)  # [1, K]
+    iou = inter / (areas[:, :, None] + areas[:, None, :] - inter)  # [B, K, K]
+    suppress_pair = iou > iou_thresh
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)  # [B, K]
 
-    valid = valid_ref[:].astype(jnp.int32)  # [1, K]
+    valid = valid_ref[:]  # [B, K] int32
     init = valid
+    sup_f = suppress_pair.astype(jnp.float32)
 
     def body(i, keep):
-        row_active = (keep[0, i] > 0) & (valid_ref[0, i] > 0)
-        later = col_ids[0] > i  # [K]
-        sup = suppress_pair[i, :] & later & row_active  # [K]
-        return keep * (1 - sup.astype(jnp.int32))[None, :]
+        # Mosaic TC kernels lack dynamic_slice: select row i via a one-hot
+        # contraction instead of indexing
+        sel = (col_ids == i).astype(jnp.float32)  # [B, K] one-hot at i
+        row_active = jnp.sum(keep.astype(jnp.float32) * sel, axis=1) > 0  # [B]
+        # broadcast-multiply-sum instead of einsum (relay Mosaic chokes on
+        # the dot_general attribute einsum emits here)
+        sup_row = jnp.sum(sel[:, :, None] * sup_f, axis=1) > 0  # [B, K]
+        later = col_ids > i
+        sup = sup_row & later & row_active[:, None]
+        return keep * (1 - sup.astype(jnp.int32))
 
     keep = jax.lax.fori_loop(0, k, body, init)
     keep_ref[:] = keep * valid
@@ -60,12 +69,11 @@ def pallas_nms_mask(
     kernel = functools.partial(_nms_kernel, iou_thresh=iou_thresh)
     keep = pl.pallas_call(
         kernel,
-        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, k, 4), lambda i: (i, 0, 0), memory_space=pltpu.ANY),
-            pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, k), jnp.int32),
         interpret=interpret,
     )(boxes, valid.astype(jnp.int32))

@@ -189,3 +189,27 @@ def test_trainer_smoke_sharded(rng):
     assert 0 <= estats["accuracy"] <= 1
     assert trainer.maybe_update_best(state, estats, 0)
     trainer.write_stats_csv()
+
+
+@pytest.mark.slow
+def test_train_visual_dynamic_cli(tmp_path, rng):
+    """Dynamic (LSTM) training from dumped feature files end-to-end."""
+    import sys
+
+    from avcer_tpu.cli import train_visual
+
+    for i in range(2):
+        np.savez(
+            tmp_path / f"vid{i}.npz",
+            features=rng.normal(size=(40, 512)).astype(np.float32),
+            labels=rng.integers(0, 7, 40),
+        )
+    rc = train_visual.main([
+        "--data_root", str(tmp_path), "--model", "dynamic",
+        "--epochs", "1", "--batch_size", "8",
+        "--log_root", str(tmp_path / "logs"),
+    ])
+    assert rc == 0
+    import os
+    runs = os.listdir(tmp_path / "logs")
+    assert runs  # stats.csv + checkpoint written under the run dir
