@@ -37,23 +37,27 @@ def main(argv=None) -> int:
     from avcer_tpu.pipeline.tracker import IoUTracker
 
     if a.method == "s3fd":
-        raise SystemExit(
-            "S3FD inference wiring: models.s3fd provides the network + priors"
-            " (convert_s3fd loads s3fd_weights.pth); the batched predictor"
-            " path currently ships for RetinaFace — run with"
-            " --method retinaface"
-        )
+        from avcer_tpu.models.s3fd import S3FDNet
+        from avcer_tpu.pipeline.detect_s3fd import S3FDStage
 
-    cfg = DetectorConfig(backbone=a.benchmark, threshold=a.threshold,
-                         long_side=a.long_side)
-    variables = checkpoint.resolve(
-        a.weights_dir, "retinaface", convert.convert_retinaface,
-        RetinaFace(backbone=cfg.backbone),
-        (jnp.zeros((1, 64, 64, 3), jnp.float32),),
-        torch_file=a.weights or None,
-        backbone=cfg.backbone,
-    )
-    stage = DetectStage(cfg, variables)
+        cfg = DetectorConfig(threshold=a.threshold, long_side=a.long_side)
+        variables = checkpoint.resolve(
+            a.weights_dir, "s3fd", convert.convert_s3fd,
+            S3FDNet(), (jnp.zeros((1, 64, 64, 3), jnp.float32),),
+            torch_file=a.weights or "s3fd_weights.pth",
+        )
+        stage = S3FDStage(cfg, variables)
+    else:
+        cfg = DetectorConfig(backbone=a.benchmark, threshold=a.threshold,
+                             long_side=a.long_side)
+        variables = checkpoint.resolve(
+            a.weights_dir, "retinaface", convert.convert_retinaface,
+            RetinaFace(backbone=cfg.backbone),
+            (jnp.zeros((1, 64, 64, 3), jnp.float32),),
+            torch_file=a.weights or None,
+            backbone=cfg.backbone,
+        )
+        stage = DetectStage(cfg, variables)
     tracker = IoUTracker(iou_threshold=cfg.tracker_iou)
     reader = media.VideoReader(a.input)
 

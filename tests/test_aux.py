@@ -6,6 +6,7 @@ import os
 import struct
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -128,3 +129,27 @@ def test_head_pose_frontal(rng):
     assert pose is not None
     pitch, yaw, roll = pose
     assert abs(yaw) < 15 and abs(roll) < 15
+
+
+@pytest.mark.slow
+def test_s3fd_stage_end_to_end(rng):
+    """Batched S3FD stage: preprocess -> net -> decode -> no-+1 NMS with the
+    DetectStage wire contract."""
+    import jax.numpy as jnp
+
+    from avcer_tpu.core.checkpoint import init_variables
+    from avcer_tpu.core.config import DetectorConfig
+    from avcer_tpu.models.s3fd import S3FDNet
+    from avcer_tpu.pipeline.detect_s3fd import S3FDStage
+
+    model = S3FDNet(dtype=jnp.float32)
+    variables = init_variables(model, (jnp.zeros((1, 128, 128, 3), jnp.float32),))
+    cfg = DetectorConfig(long_side=128, batch_size=2, transfer_format="bgr",
+                         threshold=0.1)
+    stage = S3FDStage(cfg, variables, dtype=jnp.float32)
+    frames = rng.integers(0, 255, (2, 200, 260, 3), dtype=np.uint8)
+    det = stage(frames)
+    assert det.boxes.shape == (2, 64, 4)
+    assert (np.diff(det.scores, axis=1) <= 1e-6).all()
+    assert np.isfinite(det.boxes).all()
+    assert (det.landmarks == 0).all()
