@@ -152,7 +152,9 @@ class TrainConfig:
     filtered: bool = True
     label_smoothing: float = 0.2
     mixup_alpha: float = 0.3
-    loss: str = "weighted_ce"  # weighted_ce | soft_focal
+    loss: str = "weighted_ce"  # weighted_ce | soft_focal | mse | ccc
+    #: classification (EXPR) or regression (VA task, net_trainer.py:18-24)
+    problem: str = "classification"
     optim: OptimConfig = field(default_factory=OptimConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     log_root: str = "logs"

@@ -100,6 +100,24 @@ def soft_focal_loss_onehot(
     return soft_focal_loss(logits, onehot, alpha=alpha, gamma=gamma)
 
 
+def ccc_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """1 - mean CCC over output dims — the VA-task regression loss
+    (metric definition: accuracy_utils.py:124-223). pred/target: [B, D]."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    pm = pred.mean(0)
+    tm = target.mean(0)
+    pv = pred.var(0)
+    tv = target.var(0)
+    cov = ((pred - pm) * (target - tm)).mean(0)
+    ccc = 2 * cov / (pv + tv + (pm - tm) ** 2 + 1e-8)
+    return 1.0 - ccc.mean()
+
+
+def mse_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    return jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+
+
 def mixup_batch(
     rng: jax.Array, x: jax.Array, alpha: float
 ) -> tuple[jax.Array, jax.Array, jax.Array]:

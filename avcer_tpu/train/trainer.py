@@ -93,6 +93,10 @@ class Trainer:
             self.loss_fn = lambda logits, labels: loss_lib.soft_focal_loss_onehot(
                 logits, labels, cfg.num_classes
             )
+        elif cfg.loss == "ccc":  # VA regression (net_trainer.py regression mode)
+            self.loss_fn = loss_lib.ccc_loss
+        elif cfg.loss == "mse":
+            self.loss_fn = loss_lib.mse_loss
         else:
             self.loss_fn = lambda logits, labels: loss_lib.weighted_cross_entropy(
                 logits, labels, self.class_weights, cfg.label_smoothing
@@ -219,6 +223,7 @@ class Trainer:
         rng: Optional[jax.Array] = None,
     ) -> tuple[TrainState, dict]:
         rng = rng if rng is not None else jax.random.PRNGKey(epoch)
+        regression = self.cfg.problem == "regression"
         all_true, all_pred, losses = [], [], []
         t0 = time.perf_counter()
         for x, y in loader:
@@ -228,19 +233,33 @@ class Trainer:
             else:
                 logits = self.eval_step(state, x)
             all_true.append(np.asarray(y))
-            all_pred.append(np.asarray(logits).argmax(-1))
+            out = np.asarray(logits)
+            all_pred.append(out if regression else out.argmax(-1))
         true = np.concatenate(all_true) if all_true else np.zeros(0, np.int64)
         pred = np.concatenate(all_pred) if all_pred else np.zeros(0, np.int64)
-        u, a, f, p, m = (
-            metrics_lib.reference_metrics(true, pred) if true.size else (0,) * 5
-        )
         stats = {
             "epoch": epoch,
             "phase": "train" if train else "eval",
             "loss": float(np.mean(losses)) if losses else float("nan"),
-            "uar": u, "accuracy": a, "f1": f, "precision": p, "mean": m,
             "seconds": time.perf_counter() - t0,
         }
+        if regression and true.size:
+            # VA task metrics: CCC per dim + mean (accuracy_utils.py:124-223)
+            if true.ndim == 2 and true.shape[1] >= 2:
+                cv, ca, mean_ccc = metrics_lib.va_score(true, pred)
+                stats.update({"ccc_v": cv, "ccc_a": ca, "ccc": mean_ccc,
+                              "uar": 0.0, "accuracy": 0.0, "f1": mean_ccc,
+                              "precision": 0.0, "mean": mean_ccc})
+            else:
+                c = metrics_lib.ccc(true.ravel(), pred.ravel())
+                stats.update({"ccc": c, "uar": 0.0, "accuracy": 0.0,
+                              "f1": c, "precision": 0.0, "mean": c})
+        else:
+            u, a, f, p, m = (
+                metrics_lib.reference_metrics(true, pred) if true.size else (0,) * 5
+            )
+            stats.update({"uar": u, "accuracy": a, "f1": f, "precision": p,
+                          "mean": m})
         self.history.append(stats)
         # per-phase TensorBoard scalars (net_trainer.py:185-187, 230-235)
         w = self._writer(stats["phase"])

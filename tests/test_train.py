@@ -213,3 +213,44 @@ def test_train_visual_dynamic_cli(tmp_path, rng):
     import os
     runs = os.listdir(tmp_path / "logs")
     assert runs  # stats.csv + checkpoint written under the run dir
+
+
+def test_ccc_and_mse_losses(rng):
+    pred = jnp.asarray(rng.normal(size=(32, 2)).astype(np.float32))
+    assert abs(float(losses.ccc_loss(pred, pred))) < 1e-4  # perfect -> ~0
+    target = jnp.asarray(rng.normal(size=(32, 2)).astype(np.float32))
+    assert float(losses.ccc_loss(pred, target)) > 0.3  # uncorrelated -> ~1
+    assert abs(float(losses.mse_loss(pred, pred))) < 1e-9
+
+
+@pytest.mark.slow
+def test_trainer_regression_mode(rng):
+    """VA-task regression: CCC loss + CCC metrics (net_trainer regression
+    mode)."""
+    from avcer_tpu.core.config import MeshConfig, OptimConfig, TrainConfig
+    from avcer_tpu.models.temporal_lstm import TemporalLSTM
+    from avcer_tpu.train.trainer import Trainer
+
+    class Reg(TemporalLSTM):
+        def __call__(self, x, deterministic=True, return_features=False):
+            out = super().__call__(x)
+            return (out, out) if return_features else out
+
+    model = Reg(2, dtype=jnp.float32)  # 2 outputs: valence, arousal
+    cfg = TrainConfig(num_classes=2, batch_size=8, loss="ccc",
+                      problem="regression", mesh=MeshConfig(data=1),
+                      optim=OptimConfig(lr=1e-3))
+    tr = Trainer(model, cfg, iters_per_epoch=2, unfreeze_last_n=0,
+                 wav2vec2_layers=0)
+    x = rng.normal(size=(8, 10, 512)).astype(np.float32)
+    y = rng.normal(size=(8, 2)).astype(np.float32)
+    state = tr.init_state(x)
+
+    def loader():
+        for _ in range(2):
+            yield x, y
+
+    state, st = tr.run_epoch(state, loader(), 0, train=True)
+    assert np.isfinite(st["loss"])
+    state, ev = tr.run_epoch(state, loader(), 0, train=False)
+    assert "ccc" in ev and -1 <= ev["ccc"] <= 1
