@@ -94,6 +94,44 @@ def crop_and_resize_nearest(
     ).reshape(cols.shape[0], out_size, out_size, c)
 
 
+def crop_and_resize_onehot(
+    frames: jax.Array,  # [N, H, W, C] uint8, device-resident
+    idx: jax.Array,  # [B] frame indices
+    boxes: jax.Array,  # [B, 4] int32 (x1, y1, x2, y2)
+    out_size: int = registry.FACE_INPUT_SIZE,
+) -> jax.Array:
+    """crop_and_resize_nearest as two one-hot matmuls (MXU path).
+
+    On TPU the general gather the fancy-index version lowers to costs
+    ~0.6 ms/frame — 8x the following CNN. Expressing the row/column selects
+    as one-hot bf16 matmuls moves the work to the MXU (~16 GFLOP per 64-crop
+    batch, <0.1 ms). Exact for uint8 pixels: every value 0..255 is
+    representable in bf16 and each output element is a single product.
+    Same index math as crop_and_resize_nearest.
+    """
+    h, w = frames.shape[1], frames.shape[2]
+    c = frames.shape[3]
+    b = boxes.shape[0]
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    bh = jnp.maximum(y2 - y1, 1).astype(jnp.int32)
+    bw = jnp.maximum(x2 - x1, 1).astype(jnp.int32)
+    two_i_plus_1 = 2 * jnp.arange(out_size, dtype=jnp.int32) + 1
+    rows = jnp.clip(y1[:, None] + (two_i_plus_1[None, :] * bh[:, None]) // (2 * out_size), 0, h - 1)
+    cols = jnp.clip(x1[:, None] + (two_i_plus_1[None, :] * bw[:, None]) // (2 * out_size), 0, w - 1)
+
+    batch = frames[idx].astype(jnp.bfloat16)  # [B, H, W, C]
+    row_sel = (rows[:, :, None] == jnp.arange(h)[None, None, :]).astype(jnp.bfloat16)  # [B, S, H]
+    col_sel = (cols[:, :, None] == jnp.arange(w)[None, None, :]).astype(jnp.bfloat16)  # [B, S, W]
+    tmp = jnp.einsum(
+        "bsh,bhwc->bswc", row_sel, batch, preferred_element_type=jnp.float32
+    )  # [B, S, W, C]
+    out = jnp.einsum(
+        "btw,bswc->bstc", col_sel, tmp.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # [B, S, S, C]
+    return jnp.round(out).astype(frames.dtype)
+
+
 def clamp_boxes(boxes: np.ndarray, width: int, height: int) -> np.ndarray:
     """Clamp float detector boxes to image bounds the way the reference does:
     int cast, then start >= 0 and end <= size-1 (get_face_images.py:53-56)."""

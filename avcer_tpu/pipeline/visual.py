@@ -143,11 +143,11 @@ class VisualStage:
     ) -> jax.Array:
         """Device-resident path: gather [B] frames from the on-device frame
         buffer, crop+resize+normalize+CNN in one fused program — zero crop
-        bytes cross the host link."""
-        from avcer_tpu.ops.image import crop_and_resize_nearest
+        bytes cross the host link. Crop runs as one-hot matmuls (the MXU
+        path; the general-gather version costs ~8x the CNN on TPU)."""
+        from avcer_tpu.ops.image import crop_and_resize_onehot
 
-        batch = frames[idx]  # [B, H, W, 3]
-        crops = crop_and_resize_nearest(batch, boxes, 224)
+        crops = crop_and_resize_onehot(frames, idx, boxes, 224)
         return self._static_impl(variables, crops)
 
     def _lstm_impl(self, variables: dict, windows: jax.Array):

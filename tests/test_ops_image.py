@@ -96,3 +96,23 @@ def test_i420_wire_format_roundtrip(rng):
         want = cv2.cvtColor(wire[i], cv2.COLOR_YUV2BGR_I420)
         diff = np.abs(got[i].astype(int) - want.astype(int))
         assert diff.max() <= 1, diff.max()
+
+
+def test_crop_onehot_matches_gather(rng):
+    from avcer_tpu.ops.image import crop_and_resize_nearest, crop_and_resize_onehot
+
+    frames = rng.integers(0, 255, size=(6, 60, 80, 3), dtype=np.uint8)
+    idx = np.array([0, 3, 5, 1], np.int32)
+    boxes = np.array(
+        [[5, 5, 50, 40], [0, 0, 80, 60], [10, 20, 11, 21], [33, 7, 70, 59]],
+        np.int32,
+    )
+    want = np.asarray(
+        crop_and_resize_nearest(jnp.asarray(frames)[jnp.asarray(idx)],
+                                jnp.asarray(boxes), 32)
+    )
+    got = np.asarray(
+        crop_and_resize_onehot(jnp.asarray(frames), jnp.asarray(idx),
+                               jnp.asarray(boxes), 32)
+    )
+    np.testing.assert_array_equal(got, want)
