@@ -166,11 +166,16 @@ class MobileNetV1Backbone(nn.Module):
 
 def _upsample_nearest_to(x: jax.Array, hw: tuple[int, int]) -> jax.Array:
     """F.interpolate(mode='nearest') to an exact size: index map
-    floor(i * in / out) (torch nearest semantics)."""
+    floor(i * in / out) (torch nearest semantics). Two single-axis takes with
+    trace-time-constant indices — a combined 2-D fancy index lowers to a slow
+    general gather on TPU."""
+    import numpy as np
+
     h, w = x.shape[1], x.shape[2]
-    ri = (jnp.arange(hw[0]) * h) // hw[0]
-    ci = (jnp.arange(hw[1]) * w) // hw[1]
-    return x[:, ri[:, None], ci[None, :], :]
+    ri = (np.arange(hw[0]) * h) // hw[0]
+    ci = (np.arange(hw[1]) * w) // hw[1]
+    x = jnp.take(x, jnp.asarray(ri), axis=1)
+    return jnp.take(x, jnp.asarray(ci), axis=2)
 
 
 class FPN(nn.Module):

@@ -155,12 +155,14 @@ def vggface_normalize(crops_bgr: jax.Array) -> jax.Array:
     return crops_bgr.astype(jnp.float32) - mean
 
 
-def retinaface_normalize(frames_bgr: jax.Array) -> jax.Array:
+def retinaface_normalize(frames_bgr: jax.Array, dtype=jnp.float32) -> jax.Array:
     """Detector input normalization, NHWC BGR: subtract (104, 117, 123)
     (retina_face_predictor.py:62-66; the int cast there truncates uint8 data
-    that is already integral, so plain subtraction is exact)."""
-    mean = jnp.asarray(registry.RETINAFACE_BGR_MEAN, dtype=jnp.float32)
-    return frames_bgr.astype(jnp.float32) - mean
+    that is already integral, so plain subtraction is exact). With
+    dtype=bfloat16 the result is still exact: all values in [-123, 151] are
+    integers representable in bf16."""
+    mean = jnp.asarray(registry.RETINAFACE_BGR_MEAN, dtype=dtype)
+    return frames_bgr.astype(dtype) - mean
 
 
 def letterbox_params(h: int, w: int, long_side: int) -> tuple[int, int, float]:
