@@ -61,7 +61,7 @@ class VisualConfig:
 
     num_classes: int = 7
     lstm_window: int = 10
-    batch_size: int = 64
+    batch_size: int = 128
     dtype: str = "bfloat16"
     #: run the dynamic model through the fused Pallas LSTM kernel
     #: (ops/pallas/lstm_kernel.py) instead of the lax.scan path

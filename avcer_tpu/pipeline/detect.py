@@ -121,21 +121,29 @@ class DetectStage:
             frames = np.pad(frames, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         return frames, 1.0
 
+    def prepare_wire(self, frames: np.ndarray) -> tuple[np.ndarray, float]:
+        """Host-side prep to the wire format (letterbox + optional I420).
+        Safe to run in a prefetch thread (pure cv2/numpy, releases the GIL)."""
+        from avcer_tpu.ops.image import bgr_batch_to_i420
+
+        prepped, scale = self.prepare_batch(frames)
+        if self.cfg.transfer_format == "i420":
+            return bgr_batch_to_i420(prepped), scale
+        return prepped, scale
+
+    def dispatch_wire(self, wire: np.ndarray, scale: float) -> tuple[jax.Array, float, jax.Array]:
+        """Device half of dispatch for pre-prepared wire data."""
+        packed, frames_dev = self._jit_forward(self.variables, self._shard_input(wire))
+        return packed, scale, frames_dev
+
     def dispatch(self, frames: np.ndarray) -> tuple[jax.Array, float, jax.Array]:
         """Async: enqueue detection for a batch, return (device packed
         result, scale, device BGR frames). Does NOT block on the device. The
         device frame buffer is returned so downstream stages can crop
         on-device without re-uploading pixels. Frames cross the link in the
         configured wire format (I420 halves the bytes)."""
-        from avcer_tpu.ops.image import bgr_batch_to_i420
-
-        prepped, scale = self.prepare_batch(frames)
-        if self.cfg.transfer_format == "i420":
-            wire = bgr_batch_to_i420(prepped)
-        else:
-            wire = prepped
-        packed, frames_dev = self._jit_forward(self.variables, self._shard_input(wire))
-        return packed, scale, frames_dev
+        wire, scale = self.prepare_wire(frames)
+        return self.dispatch_wire(wire, scale)
 
     @staticmethod
     def unpack(packed_np: np.ndarray, scale: float) -> Detections:

@@ -261,14 +261,30 @@ class Pipeline:
             pending = []
             frames_in_pending = 0
 
+        # decode + letterbox + wire conversion run in the prefetch thread so
+        # they overlap device dispatch and relay I/O on this 1-core host
+        can_prepare_ahead = hasattr(self.detect, "prepare_wire")
+
+        def prepared():
+            for frames_np, n_valid in reader.batches(cfg.batch_size):
+                if can_prepare_ahead:
+                    wire, scale = self.detect.prepare_wire(frames_np)
+                    yield wire, scale, n_valid, frames_np.shape[0]
+                else:
+                    yield frames_np, None, n_valid, frames_np.shape[0]
+
         t0 = time.perf_counter()
-        for frames_np, n_valid in media.prefetch_iter(reader.batches(cfg.batch_size)):
+        for item in media.prefetch_iter(prepared()):
+            wire, scale, n_valid, nbatch = item
             tacc["read"] += time.perf_counter() - t0
             t0 = time.perf_counter()
-            packed, scale, frames_dev = self.detect.dispatch(frames_np)
+            if can_prepare_ahead:
+                packed, scale, frames_dev = self.detect.dispatch_wire(wire, scale)
+            else:
+                packed, scale, frames_dev = self.detect.dispatch(wire)
             pending.append((packed, n_valid, frames_dev, scale))
             tacc["dispatch"] += time.perf_counter() - t0
-            frames_in_pending += frames_np.shape[0]
+            frames_in_pending += nbatch
             if frames_in_pending >= chunk_cap:
                 flush_chunk()
             t0 = time.perf_counter()
