@@ -71,6 +71,12 @@ class ForceTopFace:
     def dispatch(self, frames):
         return self.inner.dispatch(frames)
 
+    def prepare_wire(self, frames):
+        return self.inner.prepare_wire(frames)
+
+    def dispatch_wire(self, wire, scale):
+        return self.inner.dispatch_wire(wire, scale)
+
     def unpack(self, packed_np, scale):
         det = self.inner.unpack(packed_np, scale)
         det.keep = np.array(det.keep)
