@@ -31,6 +31,11 @@ def randomize_state(model: torch.nn.Module, scale: float = 0.05) -> None:
     g = torch.Generator().manual_seed(42)
     for k, v in sd.items():
         if v.dtype.is_floating_point:
+            if k.endswith(".pe"):
+                # deterministic sinusoidal positional-encoding buffer — the
+                # reference registers it persistently (attention_layers.py:
+                # 209); randomizing it would diverge from the recomputed PE
+                continue
             if k.endswith("running_var"):
                 sd[k] = torch.rand(v.shape, generator=g) + 0.5
             elif k.endswith("running_mean"):
