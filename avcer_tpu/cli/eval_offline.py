@@ -61,6 +61,24 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="avcer-tpu offline evaluation")
     p.add_argument("--ann_root", required=True)
     p.add_argument("--preds_root", required=True)
+    p.add_argument(
+        "--layout", choices=("flat", "reference"), default="flat",
+        help="'reference' reads the reference's actual cache trees: "
+             "<preds_root>/<video_subdir>/{static,dynamic}__NAME.csv + "
+             "<preds_root>/<audio_folder>/<model_name>/NAME.csv "
+             "(get_pred_av.py:77-137); --afew_data switches to the AFEW "
+             "per-video layout (get_pred_av.py:140-195)",
+    )
+    p.add_argument("--video_subdir", default="video")
+    p.add_argument("--audio_folder", default="audio_mean_0.5")
+    p.add_argument("--model_name", default="FLW-ExprModelV3-2024.03.02-11.42.11")
+    p.add_argument("--afew_data", default=None,
+                   help="AFEW_data.csv path (name_video, emotion columns)")
+    p.add_argument(
+        "--audio_sweep_root", default=None,
+        help="evaluate every audio_{padding}_{step}/<model> tree under this "
+             "root, audio-only (get_pred_audio.py:265-312)",
+    )
     p.add_argument("--save_root", default="report/offline_eval")
     p.add_argument("--corpus", default="ABAW")
     p.add_argument("--optimize_weights", action="store_true")
@@ -72,6 +90,44 @@ def main(argv=None) -> int:
              "'audio' dir",
     )
     a = p.parse_args(argv)
+
+    if a.audio_sweep_root:
+        from avcer_tpu.train.metrics import reference_metrics
+
+        results = {}
+        for folder, model_name, pred_dir in offline_eval.iter_audio_sweep(
+            a.audio_sweep_root
+        ):
+            trues, audio = offline_eval.read_abaw_audio_only(a.ann_root, pred_dir)
+            u, acc, f1, prec, mean = reference_metrics(trues, audio.argmax(-1))
+            results[f"{folder}/{model_name}"] = {
+                "uar_a": u, "acc_a": acc, "f1_a": f1, "precision_a": prec,
+                "mean_a": mean,
+            }
+        print(json.dumps(results))
+        return 0
+
+    if a.layout == "reference":
+        if a.afew_data:
+            aligned = offline_eval.read_afew_tree(
+                a.afew_data, a.preds_root,
+                [a.video_subdir, a.audio_folder, a.model_name],
+            )
+        else:
+            aligned = offline_eval.read_abaw_tree(
+                a.ann_root, a.preds_root,
+                [a.video_subdir, a.audio_folder, a.model_name],
+            )
+        res = offline_eval.evaluate_fusion(
+            aligned, np.asarray(registry.AV_WEIGHTS_8CL), (1, 1, 1),
+            corpus=a.corpus, save_root=a.save_root,
+        )
+        printable = {
+            k: (v.tolist() if isinstance(v, np.ndarray) else v)
+            for k, v in res.items()
+        }
+        print(json.dumps(printable))
+        return 0
 
     if a.sweep_audio_dirs:
         import shutil

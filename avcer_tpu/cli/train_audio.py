@@ -56,6 +56,8 @@ def main(argv=None) -> int:
     p.add_argument("--config", type=str, required=False)
     p.add_argument("--print_example_config", action="store_true")
     p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the latest checkpoint in the log dir")
     a = p.parse_args(argv)
     if a.print_example_config or not a.config:
         print(json.dumps(example_config(), indent=2))
@@ -124,18 +126,10 @@ def main(argv=None) -> int:
 
     x0, _ = next(iter(loader))
     state = trainer.init_state(x0)
-    for epoch in range(cfg.epochs):
-        state, tr_stats = trainer.run_epoch(state, loader, epoch, train=True,
-                                            rng=jax.random.PRNGKey(epoch))
-        log.info("epoch %d train: %s", epoch, tr_stats)
-        state, ev_stats = trainer.run_epoch(state, loader, epoch, train=False)
-        if trainer.maybe_update_best(state, ev_stats, epoch):
-            from avcer_tpu.core import checkpoint
-
-            checkpoint.save_converted(cfg.log_root, f"best_{variant}", {
-                "params": trainer.best["state"],
-            })
-        trainer.write_stats_csv()
+    trainer.fit(
+        state, loader, epochs=cfg.epochs, resume=a.resume,
+        best_family=f"best_{variant}", log_fn=log.info,
+    )
     return 0
 
 

@@ -123,11 +123,8 @@ def main(argv=None) -> int:
                           unfreeze_last_n=0, wav2vec2_layers=0)
         x0, _ = next(iter(loader))
         state = trainer.init_state(x0)
-        for epoch in range(cfg.epochs):
-            state, st = trainer.run_epoch(state, loader, epoch, train=True,
-                                          rng=jax.random.PRNGKey(epoch))
-            log.info("epoch %d: %s", epoch, st)
-            trainer.write_stats_csv()
+        trainer.fit(state, loader, epochs=cfg.epochs,
+                    best_family="best_static", log_fn=log.info)
     else:
         train_dynamic(a, cfg)
     return 0
@@ -180,18 +177,21 @@ def train_dynamic(a, cfg):
                       unfreeze_last_n=0, wav2vec2_layers=0)
     state = trainer.init_state(x_all[:bs])
 
-    def loader():
-        order = np.random.default_rng(0).permutation(len(x_all))
-        for s in range(0, len(order) - bs + 1, bs):
-            idx = order[s : s + bs]
-            yield x_all[idx], y_all[idx]
+    class _Loader:
+        """Reshuffled finite iterable (fit() iterates it once per epoch)."""
 
-    for epoch in range(cfg.epochs):
-        state, st = trainer.run_epoch(state, loader(), epoch, train=True,
-                                      rng=jax.random.PRNGKey(epoch))
-        log.info("epoch %d: %s", epoch, st)
-        trainer.write_stats_csv()
-    trainer.save_checkpoint(state, cfg.epochs - 1)
+        def __init__(self):
+            self._epoch = 0
+
+        def __iter__(self):
+            order = np.random.default_rng(self._epoch).permutation(len(x_all))
+            self._epoch += 1
+            for s in range(0, len(order) - bs + 1, bs):
+                idx = order[s : s + bs]
+                yield x_all[idx], y_all[idx]
+
+    trainer.fit(state, _Loader(), epochs=cfg.epochs,
+                best_family="best_dynamic", log_fn=log.info)
 
 
 if __name__ == "__main__":

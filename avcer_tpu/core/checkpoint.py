@@ -59,8 +59,17 @@ def load_converted(weights_dir: str, family: str) -> Optional[dict[str, Any]]:
 
 
 def init_variables(module, example_inputs: tuple, seed: int = 0) -> dict[str, Any]:
-    """Deterministic random init (fallback when no checkpoint is present)."""
-    return module.init(jax.random.PRNGKey(seed), *example_inputs)
+    """Deterministic random init (fallback when no checkpoint is present).
+
+    Runs on the host CPU backend: compiling the four model-init programs on
+    the accelerator costs minutes of pointless XLA work per process (and on
+    a relay-attached TPU it is also the flakiest part of startup); the
+    weights transfer to the accelerator on first use like converted
+    checkpoints do."""
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        variables = module.init(jax.random.PRNGKey(seed), *example_inputs)
+    return jax.tree.map(np.asarray, variables)
 
 
 def resolve(

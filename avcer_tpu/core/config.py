@@ -49,10 +49,22 @@ class DetectorConfig:
     #: Wire format for frame upload: "i420" halves host->device bytes
     #: (lossless vs 4:2:0 video sources); "bgr" ships raw pixels.
     transfer_format: str = "i420"
+    #: Detect every Nth frame (opt-in speed mode; 1 = reference parity, the
+    #: reference detects every frame — get_face_images.py:44-61). Frames in
+    #: between get linearly interpolated target boxes from the surrounding
+    #: detections (held at chunk tails); the emotion CNN still runs on every
+    #: frame. Must divide batch_size.
+    stride: int = 1
     #: IoU tracker threshold (get_face_images.py:32).
     tracker_iou: float = 0.4
     min_face_size: float = 0.0
     batch_size: int = 32
+    #: Compute dtype: "bfloat16" on TPU; "float32" for CPU differential runs.
+    dtype: str = "bfloat16"
+    #: Greedy-NMS implementation: "auto" = Pallas kernel on TPU (bit-exact
+    #: vs the XLA path, 1.5x faster — BENCH_NOTES.md round-2 table), XLA
+    #: fori_loop elsewhere. "xla" forces the portable path.
+    nms_impl: str = "auto"
 
 
 @dataclass(frozen=True)
@@ -61,11 +73,10 @@ class VisualConfig:
 
     num_classes: int = 7
     lstm_window: int = 10
-    batch_size: int = 128
+    #: crop-CNN batch: 256 is the measured optimum on v5e (0.080 ms/frame vs
+    #: 0.139 at 128 — BENCH_NOTES.md round-2 table)
+    batch_size: int = 256
     dtype: str = "bfloat16"
-    #: run the dynamic model through the fused Pallas LSTM kernel
-    #: (ops/pallas/lstm_kernel.py) instead of the lax.scan path
-    use_pallas_lstm: bool = False
 
 
 @dataclass(frozen=True)

@@ -230,6 +230,10 @@ class RetinaFace(nn.Module):
     backbone: str = "resnet50"
     dtype: Dtype = jnp.float32
     num_anchors: int = 2
+    #: True = return raw class logits (the reference's phase='train' output,
+    #: retina_face.py:111-115) for the multibox training loss; False =
+    #: softmaxed scores (phase='test').
+    raw_conf: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
@@ -266,5 +270,6 @@ class RetinaFace(nn.Module):
         landms = jnp.concatenate(
             [head(f, 10, f"LandmarkHead_{i}") for i, f in enumerate(features)], axis=1
         )
-        conf = jax.nn.softmax(conf.astype(jnp.float32), axis=-1)
+        if not self.raw_conf:
+            conf = jax.nn.softmax(conf.astype(jnp.float32), axis=-1)
         return loc, conf, landms

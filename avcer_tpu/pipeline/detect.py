@@ -44,6 +44,12 @@ class DetectStage:
         mesh=None,
     ):
         self.cfg = cfg
+        if cfg.stride > 1 and cfg.batch_size % cfg.stride:
+            raise ValueError(
+                f"detector stride {cfg.stride} must divide batch_size"
+                f" {cfg.batch_size} (keeps the detection cadence uniform"
+                " across fixed-shape batches)"
+            )
         self.model = RetinaFace(backbone=cfg.backbone, dtype=dtype)
         self.mesh = mesh
         if mesh is not None:
@@ -81,7 +87,13 @@ class DetectStage:
         else:
             frames = wire
         h, w = frames.shape[1], frames.shape[2]
-        x = retinaface_normalize(frames)
+        det_frames = frames
+        if self.cfg.stride > 1:
+            # detect-stride mode: run the network on every Nth frame only
+            # (static slice, fixed shape); the full frame buffer still goes
+            # to the CNN crop stage
+            det_frames = frames[:: self.cfg.stride]
+        x = retinaface_normalize(det_frames)
         loc, conf, landms = self.model.apply(variables, x)
         priors = jnp.asarray(box_ops.prior_boxes((h, w)))
         scale = jnp.asarray([w, h, w, h], jnp.float32)
@@ -93,7 +105,15 @@ class DetectStage:
         cand_boxes, cand_scores, valid, idx = nms_ops.topk_candidates(
             boxes, scores, k, self.cfg.threshold
         )
-        keep = nms_ops.nms_mask(cand_boxes, valid, self.cfg.nms_thresh)
+        use_pallas = self.cfg.nms_impl == "pallas" or (
+            self.cfg.nms_impl == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            from avcer_tpu.ops.pallas.nms_kernel import pallas_nms_mask
+
+            keep = pallas_nms_mask(cand_boxes, valid, self.cfg.nms_thresh)
+        else:
+            keep = nms_ops.nms_mask(cand_boxes, valid, self.cfg.nms_thresh)
         cand_landms = jnp.take_along_axis(landms, idx[..., None], axis=1)
         packed = jnp.concatenate(
             [cand_boxes, cand_scores[..., None],

@@ -122,9 +122,119 @@ def energy_vad(
     return [s for s in merged if s["end"] - s["start"] >= min_sp]
 
 
+def vad_speech_probs(
+    wav: np.ndarray, sr: int = 16_000, window: int = 512
+) -> np.ndarray:
+    """Per-window speech probability from spectral statistics — the model
+    half of the silero-equivalent VAD (run_vad.py:8-34; silero weights are
+    not fetchable in this image). Signals: SNR over the clip's noise floor,
+    speech-band (200-4000 Hz) energy concentration, and spectral
+    non-flatness (noise is flat, voiced speech is peaky)."""
+    n = len(wav) // window
+    if n == 0:
+        return np.zeros(0, np.float32)
+    frames = wav[: n * window].reshape(n, window).astype(np.float64)
+    spec = np.abs(np.fft.rfft(frames * np.hanning(window), axis=1)) ** 2
+    freqs = np.fft.rfftfreq(window, 1.0 / sr)
+    total = spec.sum(1) + 1e-12
+    voice = spec[:, (freqs >= 200) & (freqs <= 4000)].sum(1)
+    ratio = voice / total
+    log_e = 10 * np.log10(total)
+    floor = np.percentile(log_e, 10)
+    snr = log_e - floor
+    flatness = np.exp(np.mean(np.log(spec + 1e-12), axis=1)) / (
+        spec.mean(1) + 1e-12
+    )
+
+    def sigmoid(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    band_frac = float(((freqs >= 200) & (freqs <= 4000)).mean())
+    p = (
+        sigmoid(0.4 * (snr - 10.0))
+        * sigmoid(8.0 * (ratio - band_frac - 0.15))
+        * (1.0 - np.clip(flatness, 0.0, 1.0)) ** 0.25
+    )
+    return p.astype(np.float32)
+
+
+def speech_timestamps_from_probs(
+    probs: np.ndarray,
+    wav_len: int,
+    sr: int = 16_000,
+    window: int = 512,
+    threshold: float = 0.5,
+    min_speech_duration_ms: float = 250.0,
+    min_silence_duration_ms: float = 100.0,
+    speech_pad_ms: float = 30.0,
+) -> list[dict]:
+    """The silero get_speech_timestamps post-processing state machine over a
+    per-window probability series: trigger at ``threshold``, release after
+    ``min_silence`` below ``threshold - 0.15``, drop short speeches, pad
+    segments. Output schema matches run_vad.py's pickles
+    ([{"start": sample, "end": sample}, ...])."""
+    neg_threshold = max(threshold - 0.15, 0.01)
+    min_speech = int(sr * min_speech_duration_ms / 1000)
+    min_silence = int(sr * min_silence_duration_ms / 1000)
+    pad = int(sr * speech_pad_ms / 1000)
+
+    triggered = False
+    temp_end = 0
+    current: dict = {}
+    speeches: list[dict] = []
+    for i, p in enumerate(probs):
+        pos = i * window
+        if p >= threshold and temp_end:
+            temp_end = 0
+        if p >= threshold and not triggered:
+            triggered = True
+            current = {"start": pos}
+            continue
+        if p < neg_threshold and triggered:
+            if not temp_end:
+                temp_end = pos
+            if pos - temp_end < min_silence:
+                continue
+            current["end"] = temp_end
+            if current["end"] - current["start"] > min_speech:
+                speeches.append(current)
+            current = {}
+            triggered = False
+            temp_end = 0
+    if triggered and wav_len - current["start"] > min_speech:
+        current["end"] = wav_len
+        speeches.append(current)
+    for i, s in enumerate(speeches):
+        if i == 0:
+            s["start"] = max(0, s["start"] - pad)
+        if i < len(speeches) - 1:
+            gap = speeches[i + 1]["start"] - s["end"]
+            if gap < 2 * pad:
+                s["end"] += gap // 2
+                speeches[i + 1]["start"] = max(0, speeches[i + 1]["start"] - gap // 2)
+            else:
+                s["end"] = min(wav_len, s["end"] + pad)
+                speeches[i + 1]["start"] = max(0, speeches[i + 1]["start"] - pad)
+        else:
+            s["end"] = min(wav_len, s["end"] + pad)
+    return speeches
+
+
+def spectral_vad(
+    wav: np.ndarray, sr: int = 16_000, threshold: float = 0.5, **kw
+) -> list[dict]:
+    """Offline silero-equivalent VAD: spectral speech probabilities +
+    silero's exact segmentation state machine."""
+    window = 512 if sr == 16_000 else max(256, int(sr * 0.032))
+    probs = vad_speech_probs(wav, sr, window)
+    return speech_timestamps_from_probs(
+        probs, len(wav), sr, window, threshold=threshold, **kw
+    )
+
+
 def silero_vad(wav: np.ndarray, sr: int = 16_000) -> list[dict]:
     """silero VAD if the hub cache is present (run_vad.py:8-34); falls back
-    to ``energy_vad`` otherwise."""
+    to the spectral silero-equivalent otherwise."""
     try:
         import torch
 
@@ -135,7 +245,7 @@ def silero_vad(wav: np.ndarray, sr: int = 16_000) -> list[dict]:
         (get_speech_timestamps, *_rest) = utils
         return get_speech_timestamps(torch.from_numpy(wav), model, sampling_rate=sr)
     except Exception:
-        return energy_vad(wav, sr)
+        return spectral_vad(wav, sr)
 
 
 def build_vad_pickle(wav_dir: str, out_path: str, sr: int = 16_000) -> str:
@@ -165,12 +275,81 @@ def mouth_open_from_areas(
 ) -> np.ndarray:
     """Rolling(30).mean > global mean thresholding
     (run_open_mouth_features_extraction.py:120-125). ``areas`` is the
-    per-frame lip surface-area series (NaN where no face)."""
+    per-frame lip surface-area series (NaN where no face). The first
+    ``window - 1`` flags are 0 — the reference's rolling mean uses the
+    default min_periods=window, leaving them NaN."""
     import pandas as pd
 
     s = pd.Series(areas)
-    rolled = s.rolling(window, min_periods=1).mean()
+    rolled = s.rolling(window).mean()
     return (rolled > np.nanmean(areas)).astype(int).values
+
+
+def lip_area_from_crop(crop_bgr: np.ndarray) -> float:
+    """Mouth-openness proxy from a face crop's pixels.
+
+    The reference measures the mediapipe FaceMesh inner-lip band area
+    (run_open_mouth_features_extraction.py:22-73); mediapipe is not in this
+    image and no trained landmark model is available, so this proxy measures
+    the dark inter-lip cavity instead: within the canonical mouth region of
+    a face crop (x 0.2-0.8 w, y 0.55-0.95 h), the fraction of pixels darker
+    than (mean - std) of the region. An open mouth exposes the oral cavity
+    (large dark area); a closed mouth shows only the thin lip line. The
+    scalar is normalized (region fraction), scale-invariant like the
+    reference's normalized-coordinate areas, and consumed by the SAME
+    rolling-mean thresholding (``mouth_open_from_areas``)."""
+    h, w = crop_bgr.shape[:2]
+    if h < 8 or w < 8:
+        return float("nan")
+    region = crop_bgr[int(0.55 * h) : int(0.95 * h), int(0.2 * w) : int(0.8 * w)]
+    gray = region.astype(np.float64).mean(-1)
+    thresh = gray.mean() - gray.std()
+    return float((gray < thresh).mean())
+
+
+def extract_surface_area(
+    path_to_images: str,
+    path_to_landmarks: str,
+    speaker_id: int = 0,
+    area_fn: Optional[Callable[[np.ndarray], float]] = None,
+) -> list[str]:
+    """Per-video mouth-open CSVs from face-crop folders — the
+    run_open_mouth_features_extraction.py:76-130 walk: for each
+    ``<images>/<folder>/<speaker_id:02d>/*.jpg`` compute a per-frame lip
+    area, threshold with rolling(30).mean > mean, write
+    ``<out>/<folder>.csv`` with columns [frame, surface_area_mouth,
+    mouth_open] (index written, like the reference)."""
+    import glob
+
+    import cv2
+    import pandas as pd
+
+    fn = area_fn or lip_area_from_crop
+    written: list[str] = []
+    os.makedirs(path_to_landmarks, exist_ok=True)
+    for folder in sorted(os.listdir(path_to_images)):
+        rows = []
+        pattern = os.path.join(
+            path_to_images, folder, str(speaker_id).zfill(2), "*.jpg"
+        )
+        for file in sorted(glob.glob(pattern)):
+            image = cv2.imread(file)
+            if image is None:
+                continue
+            area = fn(image)
+            if np.isnan(area):  # no face / unusable crop -> skipped row
+                continue
+            rows.append([os.path.basename(file).split(".")[0], area])
+        if not rows:
+            continue
+        df = pd.DataFrame(rows, columns=["frame", "surface_area_mouth"])
+        df["mouth_open"] = mouth_open_from_areas(
+            df["surface_area_mouth"].values
+        )
+        out = os.path.join(path_to_landmarks, folder + ".csv")
+        df.to_csv(out, index=True)
+        written.append(out)
+    return written
 
 
 def mouth_open_csv(

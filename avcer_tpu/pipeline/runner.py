@@ -56,7 +56,12 @@ class ClipResult:
 
     @property
     def rtf(self) -> float:
-        wall = sum(self.timings.values())
+        # "wall" is the clip's true elapsed time; stage entries can overlap
+        # (the audio stage runs concurrently with detect/visual) so their sum
+        # exceeds wall when pipelining is working
+        wall = self.timings.get("wall") or sum(
+            v for k, v in self.timings.items() if k != "audio_concurrent"
+        )
         return wall / (self.total_frames / max(self.fps, 1))
 
 
@@ -76,24 +81,42 @@ class Pipeline:
         import jax.numpy as jnp
 
         self.cfg = cfg
-        dtype = jnp.bfloat16
+        dt = lambda name: jnp.dtype(name).type  # noqa: E731
         mesh = None
         if cfg.mesh.data > 1:
             from avcer_tpu.parallel import mesh as mesh_lib
 
             mesh = mesh_lib.make_mesh(data=cfg.mesh.data, model=1)
         self.mesh = mesh
-        self.detect = DetectStage(cfg.detector, detect_vars, dtype=dtype, mesh=mesh)
+        self.detect = DetectStage(
+            cfg.detector, detect_vars, dtype=dt(cfg.detector.dtype), mesh=mesh
+        )
         self.visual = VisualStage(
             static_vars, lstm_vars, num_classes=cfg.visual.num_classes,
-            dtype=dtype, batch_size=cfg.visual.batch_size, mesh=mesh,
-            use_pallas_lstm=cfg.visual.use_pallas_lstm,
+            dtype=dt(cfg.visual.dtype), batch_size=cfg.visual.batch_size, mesh=mesh,
         )
-        self.audio = AudioStage(audio_vars, cfg.audio, wav2vec2_config, dtype=dtype,
-                                mesh=mesh)
+        self.audio = AudioStage(
+            audio_vars, cfg.audio, wav2vec2_config, dtype=dt(cfg.audio.dtype),
+            mesh=mesh,
+        )
+        # kept for API compatibility; per-run code paths construct their own
+        # tracker so that concurrent clips (run_many overlap) don't share
+        # mutable tracker state
         self.tracker = IoUTracker(
             iou_threshold=cfg.detector.tracker_iou,
             minimum_face_size=cfg.detector.min_face_size,
+        )
+
+        import threading
+
+        # save_outputs renders matplotlib figures (pyplot global state):
+        # serialize it across the run_many overlap threads
+        self._save_lock = threading.Lock()
+
+    def _new_tracker(self) -> IoUTracker:
+        return IoUTracker(
+            iou_threshold=self.cfg.detector.tracker_iou,
+            minimum_face_size=self.cfg.detector.min_face_size,
         )
 
     # ------------------------------------------------------------------
@@ -108,8 +131,13 @@ class Pipeline:
         """
         import cv2
 
-        self.tracker.reset()
+        tracker = self._new_tracker()
         cfg = self.cfg.detector
+        if cfg.stride > 1:
+            raise ValueError(
+                "save_face_crops/heatmaps (host-crop path) require detector"
+                " stride=1 — the jpg dump is a per-frame parity artifact"
+            )
         present: list[bool] = []
         crops: list[np.ndarray] = []
         name_file = os.path.basename(reader.meta.path)
@@ -129,7 +157,7 @@ class Pipeline:
                 frame_dets = np.concatenate(
                     [boxes[i][kept], scores[i][kept][:, None]], axis=1
                 )
-                tids = self.tracker(frame_dets)
+                tids = tracker(frame_dets)
                 got_target = False
                 for det_row, tid in zip(frame_dets, tids):
                     if tid is None:
@@ -185,7 +213,7 @@ class Pipeline:
         import jax.numpy as jnp
 
         cfg = self.cfg.detector
-        self.tracker.reset()
+        tracker = self._new_tracker()
         w_native, h_native = reader.meta.width, reader.meta.height
         present_all: list[bool] = []
         stat_list, feats_list = [], []
@@ -214,39 +242,74 @@ class Pipeline:
             bsz = pending[0][2].shape[0]
             lb_h, lb_w = frames_dev.shape[1], frames_dev.shape[2]
 
-            present_idx: list[int] = []
-            boxes_lb: list[np.ndarray] = []
-            row = 0
+            stride = cfg.stride
+            rows_per_batch = bsz // stride
+            # pass 1 — per DETECTED frame: tracker update + target (tid 1)
+            # box in native float coords, validated with the reference's
+            # int-cast clamp rule (get_face_images.py:53-56)
+            det_boxes_nat: list[Optional[np.ndarray]] = []
             for bi, n_valid in enumerate(n_valids):
-                det = self.detect.unpack(packed_all[bi * bsz : (bi + 1) * bsz], scale)
-                for i in range(n_valid):
-                    kept = det.keep[i]
+                det = self.detect.unpack(
+                    packed_all[bi * rows_per_batch : (bi + 1) * rows_per_batch],
+                    scale,
+                )
+                for r in range(rows_per_batch):
+                    if r * stride >= n_valid:
+                        break
+                    kept = det.keep[r]
                     frame_dets = np.concatenate(
-                        [det.boxes[i][kept], det.scores[i][kept][:, None]], axis=1
+                        [det.boxes[r][kept], det.scores[r][kept][:, None]], axis=1
                     )
-                    tids = self.tracker(frame_dets)
-                    got = False
+                    tids = tracker(frame_dets)
+                    tbox = None
                     for det_row, tid in zip(frame_dets, tids):
-                        if tid != 1 or got:
+                        if tid != 1:
                             continue
-                        # clamp in native coords (get_face_images.py:53-56),
-                        # then map to the on-device letterbox frame
                         x1, y1, x2, y2 = det_row[:4].astype(int)
                         x1, y1 = max(0, x1), max(0, y1)
                         x2 = min(w_native - 1, x2)
                         y2 = min(h_native - 1, y2)
-                        if x2 <= x1 or y2 <= y1:
-                            continue
-                        b = np.round(np.array([x1, y1, x2, y2]) * scale).astype(np.int32)
-                        b[0] = min(b[0], lb_w - 2)
-                        b[1] = min(b[1], lb_h - 2)
-                        b[2] = max(b[2], b[0] + 1)
-                        b[3] = max(b[3], b[1] + 1)
-                        present_idx.append(bi * bsz + i)
-                        boxes_lb.append(b)
-                        got = True
-                    present_all.append(got)
-                    row += 1
+                        if x2 > x1 and y2 > y1:
+                            tbox = det_row[:4].astype(np.float64)
+                        break  # tracker ids are unique; at most one tid 1
+                    det_boxes_nat.append(tbox)
+            # pass 2 — per frame: box = own detection (stride 1 reduces to
+            # the reference's per-frame behavior) or linear interpolation
+            # between the surrounding detections (held at chunk tails)
+            present_idx: list[int] = []
+            boxes_lb: list[np.ndarray] = []
+            for bi, n_valid in enumerate(n_valids):
+                for fi in range(n_valid):
+                    i = bi * bsz + fi
+                    d = i // stride
+                    b0 = det_boxes_nat[d] if d < len(det_boxes_nat) else None
+                    if b0 is None:
+                        present_all.append(False)
+                        continue
+                    frac = (i % stride) / stride
+                    b1 = (
+                        det_boxes_nat[d + 1]
+                        if frac > 0 and d + 1 < len(det_boxes_nat)
+                        else None
+                    )
+                    box_f = b0 if b1 is None else (1 - frac) * b0 + frac * b1
+                    x1, y1, x2, y2 = box_f.astype(int)
+                    x1, y1 = max(0, x1), max(0, y1)
+                    x2 = min(w_native - 1, x2)
+                    y2 = min(h_native - 1, y2)
+                    if x2 <= x1 or y2 <= y1:
+                        present_all.append(False)
+                        continue
+                    # clamp in native coords, then map to the on-device
+                    # letterbox frame
+                    b = np.round(np.array([x1, y1, x2, y2]) * scale).astype(np.int32)
+                    b[0] = min(b[0], lb_w - 2)
+                    b[1] = min(b[1], lb_h - 2)
+                    b[2] = max(b[2], b[0] + 1)
+                    b[3] = max(b[3], b[1] + 1)
+                    present_idx.append(i)
+                    boxes_lb.append(b)
+                    present_all.append(True)
             tacc["track"] += time.perf_counter() - t0
             t0 = time.perf_counter()
             if present_idx:
@@ -304,13 +367,49 @@ class Pipeline:
         return np.asarray(present_all, bool), stat, feats
 
     # ------------------------------------------------------------------
+    def _audio_task(
+        self, path_video: str, wav: Optional[np.ndarray], fps: float,
+        duration_frames: int,
+    ) -> tuple[np.ndarray, Any, float]:
+        """Audio half of a clip: wav extraction + device windowing + model.
+        Data-independent of detection, so ``run`` executes it on a worker
+        thread concurrently with the detect/visual stages (the reference runs
+        the three stages strictly serially — run.py:221-308)."""
+        t0 = time.perf_counter()
+        if wav is None:
+            try:
+                wav = media.extract_audio(path_video, self.cfg.audio.sample_rate)
+            except (RuntimeError, FileNotFoundError) as e:
+                log.warning("audio unavailable for %s: %s", path_video, e)
+                if duration_frames <= 0:
+                    # no frame-count metadata either: let run() redo the
+                    # silent-track fallback once the decoded count is known
+                    return None, None, time.perf_counter() - t0
+                wav = np.zeros(
+                    int(duration_frames / max(fps, 1) * self.cfg.audio.sample_rate),
+                    np.float32,
+                )
+        audio_logits, audio_windows = self.audio.run_from_wav(wav, fps)
+        return audio_logits, audio_windows, time.perf_counter() - t0
+
+    # ------------------------------------------------------------------
     def run(self, path_video: str, path_save: str = "", wav: Optional[np.ndarray] = None) -> ClipResult:
+        from concurrent.futures import ThreadPoolExecutor
+
         reader = media.VideoReader(path_video)
         meta = reader.meta
         name_video = os.path.basename(path_video)
         name_video = name_video[: name_video.rfind(".")] if "." in name_video else name_video
 
         timings: dict[str, float] = {}
+        wall0 = time.perf_counter()
+        # the audio stage has no data dependency on detection: overlap it
+        # with the detect/visual device programs
+        executor = ThreadPoolExecutor(max_workers=1)
+        audio_future = executor.submit(
+            self._audio_task, path_video, wav, meta.fps, meta.total_frames
+        )
+
         t0 = time.perf_counter()
         # the host-crop path materializes uint8 crops (needed for the jpg
         # dump and heatmap overlays); the device path never moves pixels back
@@ -327,19 +426,6 @@ class Pipeline:
         if len(present) < total_frames:  # decoder returned fewer frames
             total_frames = len(present)
         timings["detect"] = time.perf_counter() - t0
-
-        # audio windows can be prepared while visual runs
-        t0 = time.perf_counter()
-        if wav is None:
-            try:
-                wav = media.extract_audio(path_video, self.cfg.audio.sample_rate)
-            except (RuntimeError, FileNotFoundError) as e:
-                log.warning("audio unavailable for %s: %s", path_video, e)
-                wav = np.zeros(
-                    int(total_frames / max(meta.fps, 1) * self.cfg.audio.sample_rate),
-                    np.float32,
-                )
-        timings["audio_prep"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         if stat_probs_p is None:
@@ -358,9 +444,18 @@ class Pipeline:
             )
 
         t0 = time.perf_counter()
-        # device-side windowing: one wav upload, one logits fetch
-        audio_logits, audio_windows = self.audio.run_from_wav(wav, meta.fps)
+        audio_logits, audio_windows, audio_thread_sec = audio_future.result()
+        executor.shutdown(wait=False)
+        if audio_logits is None:  # silent-track fallback needed frame count
+            silent = np.zeros(
+                int(total_frames / max(meta.fps, 1) * self.cfg.audio.sample_rate),
+                np.float32,
+            )
+            audio_logits, audio_windows = self.audio.run_from_wav(silent, meta.fps)
+        # "audio" = wall time this stage ADDED beyond the overlap; the
+        # thread-internal duration is reported separately
         timings["audio"] = time.perf_counter() - t0
+        timings["audio_concurrent"] = audio_thread_sec
 
         t0 = time.perf_counter()
         audio_frame_logits = compound_mod.align_audio_to_frames(
@@ -371,6 +466,7 @@ class Pipeline:
             stat_probs, dyn_logits, audio_frame_logits, name_video, self.cfg.fusion
         )
         timings["fusion"] = time.perf_counter() - t0
+        timings["wall"] = time.perf_counter() - wall0
 
         clip = ClipResult(
             name_video=name_video,
@@ -385,20 +481,28 @@ class Pipeline:
             timings=timings,
         )
         if path_save:
-            self.save_outputs(clip, path_save)
+            with self._save_lock:
+                self.save_outputs(clip, path_save)
         return clip
 
     # ------------------------------------------------------------------
     def run_many(
-        self, paths: list[str], path_save: str = ""
+        self, paths: list[str], path_save: str = "", overlap: int = 2
     ) -> list[ClipResult]:
         """Serve a batch of clips. Compiled programs are shared across clips
-        (shapes are bucketed), so only the first clip pays compile cost; the
-        reference re-runs its whole serial pipeline per video."""
-        results = []
-        for p in paths:
-            results.append(self.run(p, path_save))
-        return results
+        (shapes are bucketed), so only the first clip pays compile cost, and
+        up to ``overlap`` clips run concurrently so clip N+1's decode/detect
+        overlaps clip N's visual/audio/fusion (the reference re-runs its
+        whole serial pipeline per video). Per-clip state (tracker, plans) is
+        local to each run; the jitted stage programs are shared and
+        thread-safe (dispatch is async and the device serializes programs)."""
+        if overlap <= 1 or len(paths) == 1:
+            return [self.run(p, path_save) for p in paths]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=overlap) as ex:
+            futures = [ex.submit(self.run, p, path_save) for p in paths]
+            return [f.result() for f in futures]
 
     # ------------------------------------------------------------------
     def _save_heatmaps(

@@ -105,11 +105,9 @@ class VisualStage:
         dtype=jnp.bfloat16,
         batch_size: int = 64,
         mesh=None,
-        use_pallas_lstm: bool = False,
     ):
         self.static_model = EmotionResNet50(num_classes=num_classes, dtype=dtype)
         self.lstm_model = TemporalLSTM(num_classes=num_classes, dtype=dtype)
-        self.use_pallas_lstm = use_pallas_lstm
         self.mesh = mesh
         if mesh is not None:
             from avcer_tpu.parallel import mesh as mesh_lib
@@ -151,14 +149,6 @@ class VisualStage:
         return self._static_impl(variables, crops)
 
     def _lstm_impl(self, variables: dict, windows: jax.Array):
-        if self.use_pallas_lstm:
-            from avcer_tpu.ops.pallas.lstm_kernel import (
-                pack_lstm_params, pallas_lstm_forward,
-            )
-
-            return pallas_lstm_forward(
-                windows.astype(jnp.float32), *pack_lstm_params(variables)
-            )
         return self.lstm_model.apply(variables, windows).astype(jnp.float32)
 
     def gradcam(

@@ -237,6 +237,7 @@ class Trainer:
             all_pred.append(out if regression else out.argmax(-1))
         true = np.concatenate(all_true) if all_true else np.zeros(0, np.int64)
         pred = np.concatenate(all_pred) if all_pred else np.zeros(0, np.int64)
+        self._last_epoch_outputs = (true, pred)  # for fit()'s confusion artifact
         stats = {
             "epoch": epoch,
             "phase": "train" if train else "eval",
@@ -268,6 +269,62 @@ class Trainer:
                 w.add_scalar(key, stats[key], epoch)
         w.flush()
         return state, stats
+
+    def fit(
+        self,
+        state: TrainState,
+        train_loader: Iterable[tuple[np.ndarray, np.ndarray]],
+        eval_loader: Optional[Iterable[tuple[np.ndarray, np.ndarray]]] = None,
+        epochs: Optional[int] = None,
+        resume: bool = False,
+        best_family: Optional[str] = None,
+        log_fn: Optional[Callable[[str], None]] = None,
+    ) -> TrainState:
+        """The NetTrainer.run equivalent (net_trainer.py:135-355): owns the
+        whole product loop — per-epoch train+eval phases, per-epoch eval
+        confusion-matrix artifact, best-metric weight export, a resumable
+        "latest" orbax checkpoint each epoch, stats.csv, TB scalars.
+
+        CLIs should call this instead of re-assembling the loop. ``resume``
+        continues from the latest checkpoint in this log dir if present
+        (capability the reference lacks — SURVEY.md §5 checkpoint/resume).
+        """
+        from avcer_tpu.core import checkpoint as ckpt_lib
+
+        say = log_fn or (lambda msg: None)
+        epochs = epochs if epochs is not None else self.cfg.epochs
+        start_epoch = 0
+        if resume:
+            try:
+                state, last_epoch = self.restore_checkpoint(state, "latest")
+                start_epoch = last_epoch + 1
+                say(f"resumed from epoch {last_epoch}")
+            except (FileNotFoundError, ValueError):
+                say("no checkpoint to resume from; starting fresh")
+        family = best_family or f"best_{self.cfg.model}"
+        for epoch in range(start_epoch, epochs):
+            state, tr = self.run_epoch(
+                state, train_loader, epoch, train=True,
+                rng=jax.random.PRNGKey(epoch),
+            )
+            say(f"epoch {epoch} train: {tr}")
+            state, ev = self.run_epoch(
+                state, eval_loader if eval_loader is not None else train_loader,
+                epoch, train=False,
+            )
+            say(f"epoch {epoch} eval: {ev}")
+            if self.cfg.problem != "regression":
+                true, pred = self._last_epoch_outputs
+                self.write_confusion_matrix(true, pred, epoch, "eval")
+            if self.maybe_update_best(state, ev, epoch):
+                ckpt_lib.save_converted(
+                    self.cfg.log_root, family, {"params": self.best["state"]}
+                )
+                say(f"epoch {epoch}: new best "
+                    f"{self.cfg.selection_metric}={self.best['metric']:.4f}")
+            self.save_checkpoint(state, epoch, tag="latest")
+            self.write_stats_csv()
+        return state
 
     def extract_features(
         self, state: TrainState, loader: Iterable

@@ -15,9 +15,19 @@ ExprModels, the fusion/CLI scripts) imports and runs as-is on torch-cpu.
 
 from __future__ import annotations
 
+import importlib.machinery
 import sys
 import types
 from collections import OrderedDict
+
+
+def _module(name: str) -> types.ModuleType:
+    """Stub module with a valid __spec__ (transformers probes availability
+    via importlib.util.find_spec, which rejects spec-less sys.modules
+    entries)."""
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
 
 import torch
 import torch.nn as nn
@@ -85,19 +95,77 @@ class _IntermediateLayerGetter(nn.ModuleDict):
         return out
 
 
+class _Compose:
+    def __init__(self, fns):
+        self.fns = fns
+
+    def __call__(self, x):
+        for f in self.fns:
+            x = f(x)
+        return x
+
+
+class _PILToTensor:
+    """torchvision.transforms.PILToTensor: PIL -> uint8 CHW tensor, no scaling."""
+
+    def __call__(self, img):
+        import numpy as np
+
+        return torch.from_numpy(np.array(img)).permute(2, 0, 1)
+
+
 def install_torchvision_stub() -> None:
     if "torchvision" in sys.modules:
         return
-    tv = types.ModuleType("torchvision")
-    models = types.ModuleType("torchvision.models")
-    utils = types.ModuleType("torchvision.models._utils")
+    tv = _module("torchvision")
+    models = _module("torchvision.models")
+    utils = _module("torchvision.models._utils")
+    transforms = _module("torchvision.transforms")
     models.resnet50 = lambda *a, **k: _TorchvisionResNet50()
     utils.IntermediateLayerGetter = _IntermediateLayerGetter
     models._utils = utils
+    transforms.Compose = _Compose
+    transforms.PILToTensor = _PILToTensor
     tv.models = models
+    tv.transforms = transforms
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.models"] = models
     sys.modules["torchvision.models._utils"] = utils
+    sys.modules["torchvision.transforms"] = transforms
+
+
+def install_torchaudio_stub() -> None:
+    """torchaudio is not installed; the reference only needs ``load`` and
+    ``transforms.Resample`` (data/utils.py:42-60). ``load`` reads 16-bit PCM
+    via the same reader avcer_tpu uses (int16/32768 scaling = torchaudio's);
+    Resample is only constructed when sample rates differ, which the
+    differential harness avoids by pre-writing the wav at the target rate."""
+    if "torchaudio" in sys.modules:
+        return
+    ta = _module("torchaudio")
+    transforms = _module("torchaudio.transforms")
+
+    def load(path):
+        from avcer_tpu.pipeline.media import read_wav
+
+        wav, sr = read_wav(path)  # already [channels, samples]
+        return torch.from_numpy(wav), sr
+
+    class Resample:
+        def __init__(self, orig_freq, new_freq):
+            if orig_freq != new_freq:
+                raise NotImplementedError(
+                    "torchaudio stub: write the wav at the target rate"
+                )
+
+        def __call__(self, wav):
+            return wav
+
+    ta.load = load
+    transforms.Resample = Resample
+    ta.transforms = transforms
+    sys.modules["torchaudio"] = ta
+    sys.modules["torchaudio.transforms"] = transforms
 
 
 def add_reference_paths() -> None:

@@ -270,3 +270,126 @@ def test_fe_downsample_indices_spec():
     want = [round_math(v) for v in np.arange(0, r * maxw - 1, r / 5, dtype=float)]
     assert downsample_indices(fr, maxw) == want
     assert len(want) == 20
+
+
+def test_spectral_vad_silero_equivalent():
+    """Spectral VAD (silero-equivalent: probs model + silero segmentation
+    state machine) finds modulated-harmonic 'speech' between silences and
+    honors min-duration/padding parameters (run_vad.py schema)."""
+    from avcer_tpu.pipeline.preprocess import spectral_vad
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    t = np.arange(sr) / sr
+
+    def speech(sec):
+        tt = np.arange(int(sec * sr)) / sr
+        mod = 0.55 + 0.45 * np.sin(2 * np.pi * 4 * tt)  # syllabic modulation
+        harm = sum(np.sin(2 * np.pi * f * tt) for f in (220, 440, 880, 1320))
+        return (0.2 * mod * harm).astype(np.float32)
+
+    def silence(sec):
+        return rng.normal(0, 1e-4, int(sec * sr)).astype(np.float32)
+
+    wav = np.concatenate(
+        [silence(1.0), speech(1.0), silence(0.8), speech(0.7), silence(0.5)]
+    )
+    segs = spectral_vad(wav, sr)
+    assert len(segs) == 2
+    assert abs(segs[0]["start"] - 1.0 * sr) < 0.15 * sr
+    assert abs(segs[0]["end"] - 2.0 * sr) < 0.15 * sr
+    assert abs(segs[1]["start"] - 2.8 * sr) < 0.15 * sr
+    assert abs(segs[1]["end"] - 3.5 * sr) < 0.15 * sr
+    # a blip shorter than min_speech_duration_ms is dropped
+    wav2 = np.concatenate([silence(1.0), speech(0.1), silence(1.0)])
+    assert spectral_vad(wav2, sr) == []
+
+
+def test_speech_timestamps_state_machine():
+    """Exact silero postprocessing semantics on a hand-built prob series:
+    hysteresis (neg threshold), min-silence bridge, min-speech drop, pad."""
+    from avcer_tpu.pipeline.preprocess import speech_timestamps_from_probs
+
+    sr, win = 16000, 512
+    probs = np.zeros(200, np.float32)
+    probs[20:60] = 0.9          # speech 1
+    probs[60:62] = 0.4          # dip ABOVE neg threshold (0.35): bridged
+    probs[62:80] = 0.9          # still speech 1
+    probs[120:124] = 0.9        # too short (4*512 samples < 250 ms): dropped
+    segs = speech_timestamps_from_probs(
+        probs, 200 * win, sr, win, threshold=0.5,
+        min_speech_duration_ms=250, min_silence_duration_ms=100,
+        speech_pad_ms=30,
+    )
+    assert len(segs) == 1
+    pad = int(sr * 0.03)
+    assert segs[0]["start"] == 20 * win - pad
+    assert segs[0]["end"] == 80 * win + pad
+
+
+def test_mouth_open_first_window_matches_reference_nan_rule():
+    """reference rolling(30).mean leaves the first 29 rows NaN -> flag 0
+    (run_open_mouth_features_extraction.py:120-125)."""
+    import pandas as pd
+
+    from avcer_tpu.pipeline.preprocess import mouth_open_from_areas
+
+    rng = np.random.default_rng(3)
+    areas = rng.uniform(0.5, 3.0, 120)
+    got = mouth_open_from_areas(areas)
+    s = pd.Series(areas)
+    mask = s[s.rolling(window=30).mean() > s.mean()]
+    want = np.zeros(120, int)
+    want[mask.index] = 1
+    np.testing.assert_array_equal(got, want)
+
+
+def _synthetic_face(open_mouth: bool, size: int = 112) -> np.ndarray:
+    """Drawn face crop: skin-tone square, eyes, and a mouth that is either a
+    thin line (closed) or a filled dark ellipse (open)."""
+    import cv2
+
+    img = np.full((size, size, 3), (140, 160, 200), np.uint8)  # BGR skin
+    cv2.circle(img, (int(0.35 * size), int(0.35 * size)), size // 18, (30, 30, 30), -1)
+    cv2.circle(img, (int(0.65 * size), int(0.35 * size)), size // 18, (30, 30, 30), -1)
+    cx, cy = size // 2, int(0.75 * size)
+    if open_mouth:
+        cv2.ellipse(img, (cx, cy), (size // 6, size // 10), 0, 0, 360, (20, 20, 40), -1)
+    else:
+        cv2.line(img, (cx - size // 6, cy), (cx + size // 6, cy), (40, 40, 80), 2)
+    return img
+
+
+def test_mouth_open_extractor_end_to_end(tmp_path):
+    """Pixel lip-area proxy separates open from closed mouths, and the
+    extract_surface_area walk reproduces the reference's folder layout and
+    CSV schema (frame, surface_area_mouth, mouth_open; index written)."""
+    import cv2
+    import pandas as pd
+
+    from avcer_tpu.pipeline.preprocess import (
+        extract_surface_area, lip_area_from_crop, mouth_open_from_areas,
+    )
+
+    a_open = lip_area_from_crop(_synthetic_face(True))
+    a_closed = lip_area_from_crop(_synthetic_face(False))
+    assert a_open > 2 * a_closed
+
+    crop_dir = tmp_path / "faces" / "vid1" / "00"
+    crop_dir.mkdir(parents=True)
+    n = 64
+    openness = [i >= n // 2 for i in range(n)]  # closed half, open half
+    for i, is_open in enumerate(openness):
+        cv2.imwrite(str(crop_dir / f"{i:06d}.jpg"), _synthetic_face(is_open))
+    out = extract_surface_area(str(tmp_path / "faces"), str(tmp_path / "lm"))
+    assert out == [str(tmp_path / "lm" / "vid1.csv")]
+    df = pd.read_csv(out[0], index_col=0)
+    assert list(df.columns) == ["frame", "surface_area_mouth", "mouth_open"]
+    assert len(df) == n
+    np.testing.assert_array_equal(
+        df["mouth_open"].values,
+        mouth_open_from_areas(df["surface_area_mouth"].values),
+    )
+    # the open-mouth half trips the threshold; the closed half does not
+    assert df["mouth_open"].values[-8:].all()
+    assert not df["mouth_open"].values[:30].any()

@@ -5,7 +5,6 @@ import jax
 import jax.numpy as jnp
 
 from avcer_tpu.ops import nms as nms_ops
-from avcer_tpu.ops.pallas.lstm_kernel import pack_lstm_params, pallas_lstm_forward
 from avcer_tpu.ops.pallas.nms_kernel import pallas_nms_mask
 
 
@@ -23,18 +22,6 @@ def test_pallas_nms_matches_xla(rng):
         pallas_nms_mask(jnp.asarray(boxes), jnp.asarray(valid), 0.4, interpret=True)
     )
     np.testing.assert_array_equal(got, want)
-
-
-def test_pallas_lstm_matches_scan(rng):
-    from avcer_tpu.models.temporal_lstm import TemporalLSTM
-
-    model = TemporalLSTM(7, dtype=jnp.float32)
-    x = rng.normal(size=(4, 10, 512)).astype(np.float32)
-    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
-    want = np.asarray(model.apply(variables, jnp.asarray(x)))
-    packed = pack_lstm_params(variables)
-    got = np.asarray(pallas_lstm_forward(jnp.asarray(x), *packed, interpret=True))
-    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
 def test_pallas_mha_matches_xla(rng):

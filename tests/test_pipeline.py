@@ -300,3 +300,93 @@ def test_sharded_inference_stages(rng):
     det_p = plain(frames)
     np.testing.assert_allclose(det_s.scores, det_p.scores, atol=1e-4)
     np.testing.assert_allclose(det_s.boxes, det_p.boxes, atol=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# detect_stride: detection every Nth frame + interpolated target boxes
+# ---------------------------------------------------------------------------
+
+
+class StridedStubDetect:
+    """Stride-aware detector stub: emits one tracked box whose x-position
+    moves linearly with the global frame index (frame id is encoded in the
+    pixel values so the stub can recover it)."""
+
+    def __init__(self, stride: int):
+        self.stride = stride
+
+    def dispatch(self, frames):
+        import jax.numpy as jnp
+
+        det_frames = frames[:: self.stride]
+        ids = det_frames[:, 0, 0, 0].astype(np.float32)  # global frame index
+        b = det_frames.shape[0]
+        packed = np.zeros((b, 4, 16), np.float32)
+        packed[:, 0, 0] = 10 + ids
+        packed[:, 0, 1] = 20
+        packed[:, 0, 2] = 50 + ids
+        packed[:, 0, 3] = 60
+        packed[:, 0, 4] = 0.95
+        packed[:, 0, 5] = 1.0
+        return packed, 1.0, jnp.asarray(frames)
+
+    def unpack(self, packed_np, scale):
+        from avcer_tpu.pipeline.detect import DetectStage
+
+        return DetectStage.unpack(packed_np, scale)
+
+
+@pytest.mark.parametrize("stride", [1, 4])
+def test_detect_stride_box_interpolation(tmp_path, rng, stride, monkeypatch):
+    """Frames between detections get linearly interpolated boxes; stride=1
+    reduces to the per-frame reference behavior (every box exact)."""
+    import dataclasses
+
+    from avcer_tpu.core.config import DetectorConfig, PipelineConfig
+    from avcer_tpu.pipeline import media
+    from avcer_tpu.pipeline.runner import Pipeline
+
+    n_frames, h, w = 20, 96, 128
+
+    class FakeReader:
+        class meta:
+            width, height, fps, total_frames = w, h, 25, n_frames
+            path = "fake.avi"
+
+        def batches(self, batch_size):
+            for s in range(0, n_frames, batch_size):
+                n = min(batch_size, n_frames - s)
+                frames = np.zeros((batch_size, h, w, 3), np.uint8)
+                for j in range(batch_size):
+                    frames[j, :, :, :] = min(s + min(j, n - 1), 255)
+                yield frames, n
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(batch_size=8, stride=stride, long_side=0)
+    )
+    pipe = Pipeline.__new__(Pipeline)  # stages injected manually
+    pipe.cfg = cfg
+    pipe.detect = StridedStubDetect(stride)
+    recorded = {}
+
+    class FakeVisual:
+        def run_static_from_frames(self, frames_dev, idx, boxes):
+            recorded.setdefault("idx", []).append(np.array(idx))
+            recorded.setdefault("boxes", []).append(np.array(boxes))
+            p = len(idx)
+            return np.zeros((p, 7), np.float32), np.zeros((p, 512), np.float32)
+
+    pipe.visual = FakeVisual()
+    present, stat, feats = Pipeline.detect_track_device(pipe, FakeReader())
+
+    assert present.all() and len(present) == n_frames
+    idx = np.concatenate(recorded["idx"])
+    boxes = np.concatenate(recorded["boxes"])
+    np.testing.assert_array_equal(idx, np.arange(n_frames))
+    last_det = (n_frames - 1) // stride * stride
+    for i in range(n_frames):
+        # linear motion -> interpolation reproduces the exact per-frame box;
+        # past the final detection the box is held
+        expect_x1 = 10 + (i if i <= last_det else last_det)
+        assert boxes[i, 0] == expect_x1, (i, boxes[i], expect_x1)
+        assert boxes[i, 1] == 20 and boxes[i, 3] == 60

@@ -254,3 +254,95 @@ def test_trainer_regression_mode(rng):
     assert np.isfinite(st["loss"])
     state, ev = tr.run_epoch(state, loader(), 0, train=False)
     assert "ccc" in ev and -1 <= ev["ccc"] <= 1
+
+
+@pytest.mark.slow
+def test_trainer_fit_owns_epoch_loop(tmp_path, rng):
+    """fit() = the NetTrainer.run equivalent: epoch loop + best export +
+    confusion artifacts + stats.csv + resumable latest checkpoint."""
+    import glob
+    import os
+
+    from avcer_tpu.core.config import OptimConfig, TrainConfig
+    from avcer_tpu.models.audio_heads import ExprModel
+    from avcer_tpu.models.wav2vec2 import Wav2Vec2Config
+    from avcer_tpu.train.trainer import Trainer
+
+    w2v2 = Wav2Vec2Config(
+        hidden_size=64, num_layers=2, num_heads=4, intermediate_size=128,
+        conv_dim=(16,) * 7,
+    )
+    model = ExprModel(variant="v3", num_classes=8, wav2vec2_config=w2v2,
+                      dtype=jnp.float32)
+    cfg = TrainConfig(batch_size=4, epochs=2, optim=OptimConfig(lr=1e-3),
+                      log_root=str(tmp_path), model="v3")
+    trainer = Trainer(model, cfg, iters_per_epoch=2, unfreeze_last_n=1,
+                      wav2vec2_layers=2)
+    x = rng.normal(size=(4, 17600)).astype(np.float32)
+    y = rng.integers(0, 8, 4)
+
+    class Loader:
+        def __iter__(self):
+            for _ in range(2):
+                yield x, y
+
+    msgs = []
+    state = trainer.init_state(x)
+    state = trainer.fit(state, Loader(), log_fn=msgs.append)
+
+    assert os.path.exists(os.path.join(trainer.log_dir, "stats.csv"))
+    svgs = glob.glob(os.path.join(trainer.log_dir, "confusion", "*.svg"))
+    assert len(svgs) == 2  # one eval confusion artifact per epoch
+    assert trainer.best["metric"] >= 0
+    # best-weight export family written under log_root
+    assert glob.glob(os.path.join(str(tmp_path), "**", "best_v3*"),
+                     recursive=True)
+    # history holds train+eval rows per epoch
+    assert [h["epoch"] for h in trainer.history] == [0, 0, 1, 1]
+
+    # resume: a fresh trainer continues from epoch 2 (no re-run of 0/1)
+    trainer2 = Trainer(model, cfg, iters_per_epoch=2, unfreeze_last_n=1,
+                       wav2vec2_layers=2)
+    trainer2.log_dir = trainer.log_dir  # same experiment dir
+    state2 = trainer2.init_state(x)
+    msgs2 = []
+    state2 = trainer2.fit(state2, Loader(), epochs=3, resume=True,
+                          log_fn=msgs2.append)
+    assert any("resumed from epoch 1" in m for m in msgs2)
+    assert [h["epoch"] for h in trainer2.history] == [2, 2]
+
+
+def test_augmentations_match_reference_semantics(rng):
+    """WhiteNoise is SNR-relative to std(audio) (wave_augmentation.py:49-53);
+    sox_effect/resample equivalents behave sensibly."""
+    from avcer_tpu.train import augment
+
+    g = np.random.default_rng(0)
+    wav = (rng.normal(size=8000) * 0.3).astype(np.float32)
+
+    noised = augment.white_noise(1e-4, 5e-3)(wav, g)
+    resid_std = float(np.std(noised - wav))
+    assert 0.5e-4 * 0.3 < resid_std < 1.5 * 5e-3 * 0.3  # scales with std(wav)
+
+    # gain effect: -6 dB halves amplitude
+    out = augment.sox_effect([["gain", "-6.0206"]])(wav, g)
+    np.testing.assert_allclose(out, wav * 0.5, rtol=1e-4)
+
+    # reverse + norm
+    out = augment.sox_effect([["reverse"]])(wav, g)
+    np.testing.assert_array_equal(out, wav[::-1])
+    out = augment.sox_effect([["norm"]])(wav, g)
+    assert abs(np.max(np.abs(out)) - 1.0) < 1e-5
+
+    # speed 2x halves the length (within one sample)
+    out = augment.sox_effect([["speed", "2.0"]])(wav, g)
+    assert abs(len(out) - 4000) <= 1
+
+    # resample round-trip preserves content approximately
+    up = augment.resample(wav, 16000, 32000)
+    assert abs(len(up) - 16000) <= 1
+    back = augment.resample(up, 32000, 16000)
+    assert np.corrcoef(back[100:-100], wav[100:-100])[0, 1] > 0.99
+
+    with pytest.raises(NotImplementedError):
+        augment.sox_effect([["flanger"]])(wav, g)
