@@ -65,6 +65,12 @@ class DetectorConfig:
     #: vs the XLA path, 1.5x faster — BENCH_NOTES.md round-2 table), XLA
     #: fori_loop elsewhere. "xla" forces the portable path.
     nms_impl: str = "auto"
+    #: Space-to-depth stem for the resnet50 backbone: exact reformulation of
+    #: the 7x7/s2 stem conv (same parameters, same math — models/retinaface.py
+    #: StemConv). Off by default: measured 0.635 vs 0.604 ms/frame on v5e at
+    #: the 640 bucket (XLA's own stem lowering already wins there); kept as an
+    #: option for other generations/buckets.
+    s2d_stem: bool | str = False
 
 
 @dataclass(frozen=True)
@@ -135,6 +141,10 @@ class PipelineConfig:
     #: argmax class drives the CAM (get_prob_video.py:131-136).
     heatmaps: str = ""
     weights_dir: str = "weights"
+    #: One-shot on-device batch-size calibration at build time (cached per
+    #: device kind — pipeline/calibrate.py). Off by default: the checked-in
+    #: defaults are the measured v5e optima.
+    calibrate: bool = False
 
     def to_json(self, **kw: Any) -> str:
         return json.dumps(_asdict(self), indent=2, **kw)
@@ -202,10 +212,18 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
     p.add_argument("--data_parallel", type=int, default=1)
     p.add_argument("--profile_dir", type=str, default="",
                    help="write a jax.profiler trace of the run here")
+    p.add_argument("--calibrate", action="store_true",
+                   help="one-shot on-device batch-size calibration (cached "
+                        "per device kind; pipeline/calibrate.py)")
+    p.add_argument("--detect_stride", type=int, default=1,
+                   help="detect every Nth frame (opt-in speed mode; boxes "
+                        "interpolated between detections, CNN still runs "
+                        "every frame)")
     a = p.parse_args(argv)
     head = a.audio_head or ("v3" if a.audio_classes == 8 else "v2")
     cfg = PipelineConfig(
-        detector=DetectorConfig(long_side=a.long_side),
+        detector=DetectorConfig(long_side=a.long_side, stride=a.detect_stride),
+        calibrate=a.calibrate,
         audio=AudioConfig(
             num_classes=a.audio_classes, head=head,
             padding=a.audio_padding, step_sec=a.audio_step,

@@ -91,15 +91,69 @@ class TVBottleneck(nn.Module):
         return nn.relu(h + identity)
 
 
+class StemConv(nn.Module):
+    """The torchvision 7x7/stride-2 stem conv, with an optional exact
+    space-to-depth reformulation for the TPU MXU.
+
+    A 7x7 conv over 3 input channels keeps the MXU contraction dimension at
+    3 (padded up to the 128-wide systolic lanes -> ~2% utilization). The
+    space-to-depth form rearranges the input to [H/2, W/2, 12] and the 7x7/s2
+    kernel to an equivalent 4x4/s1 kernel over 12 channels (zero-padding the
+    7-tap kernel to 8 taps at the leading edge, then folding the 2x2 pixel
+    blocks into channels) — the classic MLPerf-ResNet TPU stem. Same
+    parameters, identical math (same products summed; only the accumulation
+    grouping changes), so converted reference checkpoints work unchanged.
+    """
+
+    s2d: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 3, 64), jnp.float32
+        )
+        dn = ("NHWC", "HWIO", "NHWC")
+        if not self.s2d:
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(2, 2), padding=((3, 3), (3, 3)),
+                dimension_numbers=dn,
+            )
+        b, h, w, c = x.shape
+        # pad H/W to even (zero rows/cols at the far edge contribute zero,
+        # exactly like the conv's own zero padding)
+        if h % 2 or w % 2:
+            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+            h, w = h + h % 2, w + w % 2
+        # input: 2x2 pixel blocks -> channels, order (dy, dx, c)
+        xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        # kernel: pad 7 taps -> 8 with one leading zero per spatial axis, then
+        # fold tap pairs into the matching (dy, dx, c) channel order.
+        # Derivation: out[i] = sum_a w7[a] * x[2i + a - 3]; with s2d rows
+        # r = i-2..i+1 holding (x[2r], x[2r+1]), tap (j, e) of the 4-wide
+        # kernel multiplies x offset 2j + e - 4, so w4[j, e] = w7[2j + e - 1]
+        # and (j=0, e=0) -> offset -4 -> zero.
+        k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k8 = k8.reshape(4, 2, 4, 2, c, 64)
+        ks = k8.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, 64)
+        return jax.lax.conv_general_dilated(
+            xs.astype(self.dtype), ks.astype(self.dtype),
+            window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            dimension_numbers=dn,
+        )
+
+
 class ResNet50Backbone(nn.Module):
     dtype: Dtype = jnp.float32
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(
         self, x: jax.Array, train: bool = False
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
-        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        h = StemConv(s2d=self.s2d_stem, dtype=self.dtype, name="conv1")(x)
         h = TorchBatchNorm(dtype=self.dtype, name="bn1")(h, not train)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -234,11 +288,16 @@ class RetinaFace(nn.Module):
     #: retina_face.py:111-115) for the multibox training loss; False =
     #: softmaxed scores (phase='test').
     raw_conf: bool = False
+    #: exact space-to-depth stem reformulation (see StemConv) — same params,
+    #: same math, MXU-friendly layout; inference-speed option.
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         if self.backbone == "resnet50":
-            feats = ResNet50Backbone(dtype=self.dtype, name="body")(x, train)
+            feats = ResNet50Backbone(
+                dtype=self.dtype, s2d_stem=self.s2d_stem, name="body"
+            )(x, train)
             out_ch = 256
         elif self.backbone == "mobilenet0.25":
             feats = MobileNetV1Backbone(dtype=self.dtype, name="body")(x, train)

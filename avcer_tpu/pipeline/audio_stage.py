@@ -74,6 +74,11 @@ class AudioStage:
             from avcer_tpu.parallel import mesh as mesh_lib
 
             variables = jax.device_put(variables, mesh_lib.replicated(mesh))
+        else:
+            # place host-initialized weights on device ONCE (numpy trees fed
+            # to jit re-upload per call — ~640 MB per audio batch through a
+            # relay link; see pipeline/detect.py)
+            variables = jax.device_put(variables)
         self.variables = variables
         self._jit_forward = jax.jit(self._forward_impl)
         self._jit_forward_from_wav = jax.jit(

@@ -46,4 +46,9 @@ def build_pipeline(
         (jnp.zeros((1, int(cfg.audio.window_sec * cfg.audio.sample_rate)), jnp.float32),),
         variant=cfg.audio.head, num_layers=w2v2.num_layers,
     )
-    return Pipeline(cfg, detect_vars, static_vars, lstm_vars, audio_vars, w2v2)
+    pipe = Pipeline(cfg, detect_vars, static_vars, lstm_vars, audio_vars, w2v2)
+    if cfg.calibrate:
+        from avcer_tpu.pipeline.calibrate import calibrate
+
+        calibrate(pipe)
+    return pipe

@@ -50,13 +50,23 @@ class DetectStage:
                 f" {cfg.batch_size} (keeps the detection cadence uniform"
                 " across fixed-shape batches)"
             )
-        self.model = RetinaFace(backbone=cfg.backbone, dtype=dtype)
+        s2d = cfg.s2d_stem
+        if s2d == "auto":
+            s2d = jax.default_backend() == "tpu" and dtype == jnp.bfloat16
+        self.model = RetinaFace(backbone=cfg.backbone, dtype=dtype, s2d_stem=bool(s2d))
         self.mesh = mesh
         if mesh is not None:
             # multi-chip inference: replicate weights, shard the frame batch
             from avcer_tpu.parallel import mesh as mesh_lib
 
             variables = jax.device_put(variables, mesh_lib.replicated(mesh))
+        else:
+            # weights are initialized/converted on HOST (checkpoint.resolve);
+            # place them on device ONCE — passing host numpy trees into a
+            # jitted call re-uploads every weight on EVERY call (~110 MB per
+            # detect batch through a relay link: the whole stage becomes
+            # upload-bound)
+            variables = jax.device_put(variables)
         self.variables = variables
         self._jit_forward = jax.jit(self._forward_impl)
 

@@ -38,6 +38,10 @@ class S3FDStage(DetectStage):
             from avcer_tpu.parallel import mesh as mesh_lib
 
             variables = jax.device_put(variables, mesh_lib.replicated(mesh))
+        else:
+            # one-time device placement (host trees fed to jit re-upload per
+            # call — see pipeline/detect.py)
+            variables = jax.device_put(variables)
         self.variables = variables
         self._jit_forward = jax.jit(self._forward_impl)
 

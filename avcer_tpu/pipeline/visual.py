@@ -114,6 +114,11 @@ class VisualStage:
 
             static_variables = jax.device_put(static_variables, mesh_lib.replicated(mesh))
             lstm_variables = jax.device_put(lstm_variables, mesh_lib.replicated(mesh))
+        else:
+            # place host-initialized weights on device ONCE (numpy trees fed
+            # to jit re-upload per call — see pipeline/detect.py)
+            static_variables = jax.device_put(static_variables)
+            lstm_variables = jax.device_put(lstm_variables)
         self.static_variables = static_variables
         self.lstm_variables = lstm_variables
         self.batch_size = batch_size

@@ -125,3 +125,32 @@ def test_retinaface_parity(rng):
     np.testing.assert_allclose(np.asarray(loc), want_loc.numpy(), atol=1e-3, rtol=1e-2)
     np.testing.assert_allclose(np.asarray(conf), want_conf.numpy(), atol=1e-4, rtol=1e-2)
     np.testing.assert_allclose(np.asarray(landms), want_landms.numpy(), atol=1e-3, rtol=1e-2)
+
+def test_s2d_stem_exactness(rng):
+    """The space-to-depth stem is the SAME function as the plain 7x7/s2 stem
+    (identical params, identical products — only the accumulation grouping
+    differs), on even and odd spatial sizes."""
+    from avcer_tpu.models.retinaface import StemConv
+
+    for h, w in ((64, 64), (90, 80), (45, 37)):
+        x = jnp.asarray(rng.normal(size=(2, h, w, 3)).astype(np.float32))
+        plain = StemConv(s2d=False, dtype=jnp.float32)
+        variables = plain.init(jax.random.PRNGKey(0), x)
+        want = jax.jit(plain.apply)(variables, x)
+        got = jax.jit(StemConv(s2d=True, dtype=jnp.float32).apply)(variables, x)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+def test_retinaface_s2d_stem_same_outputs(rng):
+    """Full detector outputs match between stem implementations with shared
+    variables (the conversion/param tree is unchanged by s2d_stem)."""
+    x = jnp.asarray(rng.normal(size=(1, 96, 80, 3)).astype(np.float32) * 20)
+    base = RetinaFace(backbone="resnet50", dtype=jnp.float32)
+    variables = base.init(jax.random.PRNGKey(1), x)
+    loc, conf, landms = jax.jit(base.apply)(variables, x)
+    s2d = RetinaFace(backbone="resnet50", dtype=jnp.float32, s2d_stem=True)
+    loc2, conf2, landms2 = jax.jit(s2d.apply)(variables, x)
+    np.testing.assert_allclose(np.asarray(loc2), np.asarray(loc), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(conf2), np.asarray(conf), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(landms2), np.asarray(landms), atol=1e-4, rtol=1e-4)

@@ -390,3 +390,36 @@ def test_detect_stride_box_interpolation(tmp_path, rng, stride, monkeypatch):
         expect_x1 = 10 + (i if i <= last_det else last_det)
         assert boxes[i, 0] == expect_x1, (i, boxes[i], expect_x1)
         assert boxes[i, 1] == 20 and boxes[i, 3] == 60
+
+def test_calibrate_batch_sizes(tmp_path, rng):
+    """One-shot calibration measures candidate batch sizes, applies the
+    optimum to the live pipeline, and round-trips through its cache."""
+    from avcer_tpu.core.config import (AudioConfig, DetectorConfig,
+                                       PipelineConfig, VisualConfig)
+    from avcer_tpu.models.wav2vec2 import Wav2Vec2Config
+    from avcer_tpu.pipeline.builder import build_pipeline
+    from avcer_tpu.pipeline.calibrate import calibrate
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(batch_size=8, long_side=64),
+        visual=VisualConfig(batch_size=16),
+        audio=AudioConfig(batch_size=4),
+        weights_dir=str(tmp_path / "nonexistent_weights"),
+    )
+    tiny_w2v2 = Wav2Vec2Config(
+        hidden_size=64, num_layers=2, num_heads=4, intermediate_size=128,
+        conv_dim=(16,) * 7,
+    )
+    pipe = build_pipeline(cfg, wav2vec2_config=tiny_w2v2)
+    cache = str(tmp_path / "calib.json")
+    rec = calibrate(pipe, cache_path=cache, cnn_batches=(4, 8), audio_batches=(2, 4))
+    assert rec["visual_batch"] in (4, 8)
+    assert rec["audio_batch"] in (2, 4)
+    assert pipe.visual.batch_size == rec["visual_batch"]
+    assert pipe.audio.cfg.batch_size == rec["audio_batch"]
+    assert os.path.exists(cache)
+    # second pipeline: served from cache (no new measurements), same applied values
+    pipe2 = build_pipeline(cfg, wav2vec2_config=tiny_w2v2)
+    rec2 = calibrate(pipe2, cache_path=cache, cnn_batches=(999,), audio_batches=(999,))
+    assert rec2 == rec
+    assert pipe2.visual.batch_size == rec["visual_batch"]
