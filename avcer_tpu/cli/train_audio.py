@@ -45,6 +45,7 @@ def example_config() -> dict[str, Any]:
         "FILTERED": True,
         "NUM_EPOCHS": 100,
         "BATCH_SIZE": 24,
+        "REMAT": True,
         "DATA_PARALLEL": 1,
         "MODEL_PARALLEL": 1,
     }
@@ -114,7 +115,10 @@ def main(argv=None) -> int:
     )
     model = ExprModel(
         variant=variant, num_classes=num_classes,
-        wav2vec2_config=Wav2Vec2Config(), dtype=jnp.bfloat16,
+        # remat: activation memory for batch>=24 wav2vec2-large training on a
+        # single chip (Wav2Vec2Config docstring)
+        wav2vec2_config=Wav2Vec2Config(remat=bool(c.get("REMAT", True))),
+        dtype=jnp.bfloat16,
     )
     trainer = Trainer(
         model, cfg,

@@ -47,6 +47,11 @@ class Wav2Vec2Config:
     #: route attention through the fused Pallas MHA kernel
     #: (ops/pallas/attention_kernel.py) instead of the XLA einsum path
     use_pallas_attention: bool = False
+    #: rematerialize encoder layers on the backward pass (jax.checkpoint):
+    #: trades ~1/3 extra forward FLOPs for O(layers) less activation memory —
+    #: required for training batches >= 24 on a single chip (train-time only;
+    #: no effect on inference)
+    remat: bool = False
 
     def num_output_frames(self, num_samples: int) -> int:
         n = num_samples
@@ -177,8 +182,12 @@ class Wav2Vec2Encoder(nn.Module):
         pos = PositionalConvEmbedding(c, dtype=self.dtype, name="pos_conv_embed")(h)
         h = h + pos
         h = nn.Dropout(0.1)(h, deterministic=deterministic)
+        layer_cls = EncoderLayerStableLN
+        if c.remat:
+            # deterministic (arg 2) is a static python bool
+            layer_cls = nn.remat(EncoderLayerStableLN, static_argnums=(2,))
         for i in range(c.num_layers):
-            h = EncoderLayerStableLN(c, dtype=self.dtype, name=f"layers_{i}")(
+            h = layer_cls(c, dtype=self.dtype, name=f"layers_{i}")(
                 h, deterministic
             )
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="layer_norm")(h)

@@ -150,88 +150,113 @@ def main() -> None:
         import jax
         import jax.numpy as jnp
 
+        def barrier(x):
+            np.asarray(jax.tree.leaves(x)[0])
+
+        def time_slope(fn, n1=3, n2=15):
+            """Per-dispatch seconds via the fetch-barrier slope (cancels the
+            constant fetch latency of the relay link)."""
+            barrier(fn())
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n1):
+                out = fn()
+            barrier(out)
+            ta = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(n2):
+                out = fn()
+            barrier(out)
+            tb = time.perf_counter() - t0
+            return (tb - ta) / (n2 - n1)
+
         inner = pipe.detect.inner
         frames = np.random.default_rng(1).integers(
             0, 255, (32, 360, 640, 3), np.uint8
         )
         packed, scale, frames_dev = inner.dispatch(frames)
         jax.block_until_ready(packed)
-        # time the jitted program on device-resident wire data (no upload)
-        from avcer_tpu.ops.image import bgr_batch_to_i420
+        # time the jitted detect program on device-resident wire data at the
+        # flagship bucket and the documented speed buckets (PARITY.md table)
+        from avcer_tpu.pipeline.detect import DetectStage
+        from avcer_tpu.core.config import DetectorConfig as _DC
 
-        wire = (
-            jnp.asarray(bgr_batch_to_i420(frames))
-            if inner.cfg.transfer_format == "i420"
-            else jnp.asarray(frames)
-        )
-        jax.block_until_ready(wire)
-        reps = 8
-        out = inner._jit_forward(inner.variables, wire)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = inner._jit_forward(inner.variables, wire)
-        jax.block_until_ready(out)
-        per_frame_detect = (time.perf_counter() - t0) / (reps * 32)
-        # CNN on device-resident frames
-        idx = np.arange(32, dtype=np.int32)
-        boxes = np.tile(np.array([[160, 90, 480, 270]], np.int32), (32, 1))
-        out = pipe.visual._jit_static_from_frames(
-            pipe.visual.static_variables, frames_dev, jnp.asarray(idx), jnp.asarray(boxes)
-        )
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = pipe.visual._jit_static_from_frames(
-                pipe.visual.static_variables, frames_dev, jnp.asarray(idx), jnp.asarray(boxes)
-            )
-        jax.block_until_ready(out)
-        per_frame_cnn = (time.perf_counter() - t0) / (reps * 32)
-        # crop-CNN batch-size sweep (informs VisualConfig.batch_size)
-        sweep = {}
-        for bs in (64, 128, 256):
-            idx_b = np.arange(bs, dtype=np.int32) % 32
-            boxes_b = np.tile(np.array([[160, 90, 480, 270]], np.int32), (bs, 1))
-            o = pipe.visual._jit_static_from_frames(
-                pipe.visual.static_variables, frames_dev,
-                jnp.asarray(idx_b), jnp.asarray(boxes_b),
-            )
-            jax.block_until_ready(o)
-            t0 = time.perf_counter()
-            for _ in range(4):
-                o = pipe.visual._jit_static_from_frames(
-                    pipe.visual.static_variables, frames_dev,
-                    jnp.asarray(idx_b), jnp.asarray(boxes_b),
+        detect_ms = {}
+        for bucket in (640, 512, 448):
+            stage = (
+                inner
+                if bucket == cfg.detector.long_side
+                else DetectStage(
+                    _DC(long_side=bucket, batch_size=32), inner.variables
                 )
-            jax.block_until_ready(o)
-            sweep[bs] = round((time.perf_counter() - t0) / (4 * bs) * 1e3, 3)
+            )
+            wire_np, _s = stage.prepare_wire(frames)
+            wire = jnp.asarray(wire_np)
+            jax.block_until_ready(wire)
+            sec = time_slope(lambda: stage._jit_forward(stage.variables, wire))
+            detect_ms[bucket] = sec / 32 * 1e3
+        per_frame_detect = detect_ms[640] / 1e3
+        # crop-CNN on device-resident frames at the configured batch size
+        # (256 = calibrated optimum) + sweep for reference
+        sweep = {}
+        for bs in (128, 256):
+            idx_b = jnp.asarray((np.arange(bs) % 32).astype(np.int32))
+            boxes_b = jnp.asarray(
+                np.tile(np.array([[160, 90, 480, 270]], np.int32), (bs, 1))
+            )
+            sec = time_slope(
+                lambda: pipe.visual._jit_static_from_frames(
+                    pipe.visual.static_variables, frames_dev, idx_b, boxes_b
+                ),
+                n1=2, n2=8,
+            )
+            sweep[bs] = round(sec / bs * 1e3, 3)
+        per_frame_cnn = sweep[256] / 1e3
         print(json.dumps({"cnn_ms_per_frame_by_batch": sweep}), file=sys.stderr)
         # audio: one 4 s window per 0.5 s of video -> 2 windows per video-sec
-        wav_dev = jnp.asarray(np.random.default_rng(2).normal(size=80_001).astype(np.float32))
+        wav_dev = jnp.asarray(np.random.default_rng(2).normal(size=200_001).astype(np.float32))
         starts = jnp.asarray(np.arange(16, dtype=np.int32) * 8000)
-        aout = pipe.audio._jit_forward_from_wav(
-            pipe.audio.variables, wav_dev, jnp.asarray(16_000, jnp.int32), starts,
-            padding="mean",
+        wl = jnp.asarray(136_000, jnp.int32)
+        sec = time_slope(
+            lambda: pipe.audio._jit_forward_from_wav(
+                pipe.audio.variables, wav_dev, wl, starts, padding="mean"
+            ),
+            n1=2, n2=8,
         )
-        jax.block_until_ready(aout)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            aout = pipe.audio._jit_forward_from_wav(
-                pipe.audio.variables, wav_dev, jnp.asarray(16_000, jnp.int32), starts,
-                padding="mean",
-            )
-        jax.block_until_ready(aout)
-        per_window_audio = (time.perf_counter() - t0) / (reps * 16)
+        per_window_audio = sec / 16
         fps = 25.0
-        sec_per_videosec = (per_frame_detect + per_frame_cnn) * fps + per_window_audio * 2
+
+        def vss(det_ms_frame: float, stride: int = 1) -> float:
+            """Modelled device video-sec/sec: detect every stride-th frame,
+            CNN every frame, 2 audio windows per video-sec."""
+            per_sec = (
+                (det_ms_frame / 1e3 / stride + per_frame_cnn) * fps
+                + per_window_audio * 2
+            )
+            return round(1.0 / per_sec, 1)
+
+        # Documented serving profiles (quality tradeoffs in PARITY.md):
+        # parity = reference-exact per-frame detection at the 640 bucket;
+        # stride detects every Nth frame with interpolated boxes between
+        # (per-detection quality preserved); smaller buckets trade recall
+        # below ~48/32 px native face size.
+        profiles = {
+            "parity_640_s1": vss(detect_ms[640], 1),
+            "serving_640_s2": vss(detect_ms[640], 2),
+            "fast_512_s2": vss(detect_ms[512], 2),
+            "turbo_448_s3": vss(detect_ms[448], 3),
+        }
         print(
             json.dumps(
                 {
-                    "device_only_throughput": round(1.0 / sec_per_videosec, 2),
-                    "unit": "video-sec/sec/chip (inputs device-resident)",
-                    "per_frame_detect_ms": round(per_frame_detect * 1e3, 3),
+                    "device_only_throughput": profiles["parity_640_s1"],
+                    "unit": "video-sec/sec/chip (inputs device-resident, parity profile)",
+                    "per_frame_detect_ms": {
+                        str(k): round(v, 3) for k, v in detect_ms.items()
+                    },
                     "per_frame_cnn_ms": round(per_frame_cnn * 1e3, 3),
                     "per_window_audio_ms": round(per_window_audio * 1e3, 3),
+                    "device_profiles_video_sec_per_sec": profiles,
                 }
             ),
             file=sys.stderr,
