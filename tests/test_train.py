@@ -187,6 +187,8 @@ def test_trainer_smoke_sharded(rng):
     # eval
     state, estats = trainer.run_epoch(state, loader(), epoch=0, train=False)
     assert 0 <= estats["accuracy"] <= 1
+    # eval phase logs a real loss too (net_trainer.py logs loss both phases)
+    assert np.isfinite(estats["loss"])
     assert trainer.maybe_update_best(state, estats, 0)
     trainer.write_stats_csv()
 
