@@ -61,10 +61,15 @@ class DetectorConfig:
     batch_size: int = 32
     #: Compute dtype: "bfloat16" on TPU; "float32" for CPU differential runs.
     dtype: str = "bfloat16"
-    #: Greedy-NMS implementation: "auto" = Pallas kernel on TPU (bit-exact
-    #: vs the XLA path, 1.5x faster — BENCH_NOTES.md round-2 table), XLA
-    #: fori_loop elsewhere. "xla" forces the portable path.
+    #: Greedy-NMS implementation: "auto" = the XLA fori_loop (0.093 ms/batch
+    #: vs 0.346 for the Pallas kernel on v5e in trustworthy in-program-loop
+    #: timing — BENCH_NOTES.md round-4 table). "pallas" opts into the kernel
+    #: (bit-exact, kept for study).
     nms_impl: str = "auto"
+    #: Quantized serving: "int8" runs backbone+FPN+SSH convs dynamically
+    #: quantized on the MXU (~1.85x conv speedup, models/retinaface.QConv);
+    #: heads/decode/NMS stay bf16/fp32. "none" = exact bf16 path.
+    quant: str = "none"
     #: Space-to-depth stem for the resnet50 backbone: exact reformulation of
     #: the 7x7/s2 stem conv (same parameters, same math — models/retinaface.py
     #: StemConv). Off by default: measured 0.635 vs 0.604 ms/frame on v5e at

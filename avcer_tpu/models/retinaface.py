@@ -25,7 +25,70 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from avcer_tpu.models.layers import Dtype, TorchBatchNorm
+from avcer_tpu.models.layers import Dtype, TorchBatchNorm, int8_conv
+
+
+def _activation_amax(mod: nn.Module, x: jax.Array):
+    """Per-tensor activation max-abs for int8 quantization, held in the
+    "act_scales" variable collection.
+
+    Three modes by context:
+    - collection mutable (a calibration pass — DetectStage.calibrate runs
+      the model with ``mutable=["act_scales"]``): update the running max
+      with this input and use it;
+    - calibrated (checkpoint/stage carries act_scales): read the static
+      scalar — the quantize fuses into the producing op, no reduction;
+    - uncalibrated + immutable (e.g. parity tests calling apply directly):
+      return None -> int8_conv falls back to the dynamic per-call scale.
+    """
+    if mod.is_mutable_collection("act_scales"):
+        v = mod.variable(
+            "act_scales", "amax", lambda: jnp.asarray(0.0, jnp.float32)
+        )
+        v.value = jnp.maximum(v.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+        return v.value
+    if mod.has_variable("act_scales", "amax"):
+        return mod.get_variable("act_scales", "amax")
+    return None
+
+
+class QConv(nn.Module):
+    """Drop-in dynamically-quantized int8 replacement for ``nn.Conv``.
+
+    Same parameter names, shapes, and initializers as nn.Conv (HWIO
+    "kernel" + optional "bias"), so converted reference checkpoints load
+    into either path unchanged; the int8 rounding happens inside the
+    program (see layers.int8_conv). Inference-only (no custom VJP needed —
+    the detector is served frozen).
+    """
+
+    features: int
+    kernel_size: tuple[int, int]
+    strides: tuple[int, int] = (1, 1)
+    padding: int | str = 0
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features), jnp.float32,
+        )
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        y = int8_conv(
+            x, kernel, strides=self.strides, padding=pad, out_dtype=self.dtype,
+            act_amax=_activation_amax(self, x),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class ConvBN(nn.Module):
@@ -37,15 +100,25 @@ class ConvBN(nn.Module):
     leaky: float = 0.0
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         pad = (self.kernel - 1) // 2
-        h = nn.Conv(
-            self.out_ch, (self.kernel, self.kernel),
-            strides=(self.stride, self.stride), padding=pad, use_bias=False,
-            feature_group_count=self.groups, dtype=self.dtype, name="conv",
-        )(x)
+        if self.quant and self.groups == 1:
+            # grouped (depthwise) convs stay bf16: they are VPU-bound, not
+            # MXU-bound, so int8 buys nothing there
+            h = QConv(
+                self.out_ch, (self.kernel, self.kernel),
+                strides=(self.stride, self.stride), padding=pad,
+                use_bias=False, dtype=self.dtype, name="conv",
+            )(x)
+        else:
+            h = nn.Conv(
+                self.out_ch, (self.kernel, self.kernel),
+                strides=(self.stride, self.stride), padding=pad, use_bias=False,
+                feature_group_count=self.groups, dtype=self.dtype, name="conv",
+            )(x)
         h = TorchBatchNorm(eps=self.eps, dtype=self.dtype, name="bn")(h, not train)
         if self.relu:
             h = nn.leaky_relu(h, self.leaky) if self.leaky else nn.relu(h)
@@ -64,27 +137,32 @@ class TVBottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        def conv(ch, k, s, name):
+            if self.quant:
+                return QConv(ch, (k, k), strides=(s, s),
+                             padding=(k - 1) // 2, use_bias=False,
+                             dtype=self.dtype, name=name)
+            return nn.Conv(ch, (k, k), strides=(s, s),
+                           padding="VALID" if k == 1 else (k - 1) // 2,
+                           use_bias=False, dtype=self.dtype, name=name)
+
         identity = x
-        h = nn.Conv(self.planes, (1, 1), padding="VALID", use_bias=False,
-                    dtype=self.dtype, name="conv1")(x)
+        h = conv(self.planes, 1, 1, "conv1")(x)
         h = TorchBatchNorm(dtype=self.dtype, name="bn1")(h, not train)
         h = nn.relu(h)
-        h = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
-                    padding=1, use_bias=False, dtype=self.dtype, name="conv2")(h)
+        h = conv(self.planes, 3, self.stride, "conv2")(h)
         h = TorchBatchNorm(dtype=self.dtype, name="bn2")(h, not train)
         h = nn.relu(h)
-        h = nn.Conv(self.planes * 4, (1, 1), padding="VALID", use_bias=False,
-                    dtype=self.dtype, name="conv3")(h)
+        h = conv(self.planes * 4, 1, 1, "conv3")(h)
         h = TorchBatchNorm(dtype=self.dtype, name="bn3")(h, not train)
         if self.downsample:
-            identity = nn.Conv(
-                self.planes * 4, (1, 1), strides=(self.stride, self.stride),
-                padding="VALID", use_bias=False, dtype=self.dtype,
-                name="downsample_conv",
-            )(identity)
+            identity = conv(self.planes * 4, 1, self.stride, "downsample_conv")(
+                identity
+            )
             identity = TorchBatchNorm(dtype=self.dtype, name="downsample_bn")(
                 identity, not train
             )
@@ -107,6 +185,7 @@ class StemConv(nn.Module):
 
     s2d: bool = False
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -115,6 +194,11 @@ class StemConv(nn.Module):
         )
         dn = ("NHWC", "HWIO", "NHWC")
         if not self.s2d:
+            if self.quant:
+                return int8_conv(
+                    x, kernel, strides=(2, 2), padding=((3, 3), (3, 3)),
+                    out_dtype=self.dtype, act_amax=_activation_amax(self, x),
+                )
             return jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 window_strides=(2, 2), padding=((3, 3), (3, 3)),
@@ -138,6 +222,11 @@ class StemConv(nn.Module):
         k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
         k8 = k8.reshape(4, 2, 4, 2, c, 64)
         ks = k8.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, 64)
+        if self.quant:
+            return int8_conv(
+                xs, ks, strides=(1, 1), padding=((2, 1), (2, 1)),
+                out_dtype=self.dtype, act_amax=_activation_amax(self, xs),
+            )
         return jax.lax.conv_general_dilated(
             xs.astype(self.dtype), ks.astype(self.dtype),
             window_strides=(1, 1), padding=((2, 1), (2, 1)),
@@ -148,12 +237,14 @@ class StemConv(nn.Module):
 class ResNet50Backbone(nn.Module):
     dtype: Dtype = jnp.float32
     s2d_stem: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(
         self, x: jax.Array, train: bool = False
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
-        h = StemConv(s2d=self.s2d_stem, dtype=self.dtype, name="conv1")(x)
+        h = StemConv(s2d=self.s2d_stem, dtype=self.dtype, quant=self.quant,
+                     name="conv1")(x)
         h = TorchBatchNorm(dtype=self.dtype, name="bn1")(h, not train)
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -167,6 +258,7 @@ class ResNet50Backbone(nn.Module):
                 s = stride if bi == 0 else 1
                 ds = bi == 0 and (s != 1 or in_ch != planes * 4)
                 h = TVBottleneck(planes, stride=s, downsample=ds, dtype=self.dtype,
+                                 quant=self.quant,
                                  name=f"layer{li + 1}_{bi}")(h, train)
                 in_ch = planes * 4
             if li >= 1:
@@ -183,33 +275,37 @@ class ConvDW(nn.Module):
     out_ch: int
     stride: int = 1
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         in_ch = x.shape[-1]
+        # depthwise half is never quantized (VPU-bound); pointwise is MXU work
         h = ConvBN(in_ch, 3, self.stride, groups=in_ch, leaky=0.1,
                    dtype=self.dtype, name="dw")(x, train)
-        return ConvBN(self.out_ch, 1, 1, leaky=0.1, dtype=self.dtype, name="pw")(
-            h, train
-        )
+        return ConvBN(self.out_ch, 1, 1, leaky=0.1, dtype=self.dtype,
+                      quant=self.quant, name="pw")(h, train)
 
 
 class MobileNetV1Backbone(nn.Module):
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(
         self, x: jax.Array, train: bool = False
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
-        h = ConvBN(8, 3, 2, leaky=0.1, dtype=self.dtype, name="stage1_0")(x, train)
+        q = self.quant
+        h = ConvBN(8, 3, 2, leaky=0.1, dtype=self.dtype, quant=q,
+                   name="stage1_0")(x, train)
         for i, (ch, s) in enumerate([(16, 1), (32, 2), (32, 1), (64, 2), (64, 1)]):
-            h = ConvDW(ch, s, dtype=self.dtype, name=f"stage1_{i + 1}")(h, train)
+            h = ConvDW(ch, s, dtype=self.dtype, quant=q, name=f"stage1_{i + 1}")(h, train)
         s1 = h
         for i, (ch, s) in enumerate([(128, 2)] + [(128, 1)] * 5):
-            h = ConvDW(ch, s, dtype=self.dtype, name=f"stage2_{i}")(h, train)
+            h = ConvDW(ch, s, dtype=self.dtype, quant=q, name=f"stage2_{i}")(h, train)
         s2 = h
         for i, (ch, s) in enumerate([(256, 2), (256, 1)]):
-            h = ConvDW(ch, s, dtype=self.dtype, name=f"stage3_{i}")(h, train)
+            h = ConvDW(ch, s, dtype=self.dtype, quant=q, name=f"stage3_{i}")(h, train)
         return s1, s2, h
 
 
@@ -235,41 +331,45 @@ def _upsample_nearest_to(x: jax.Array, hw: tuple[int, int]) -> jax.Array:
 class FPN(nn.Module):
     out_ch: int
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
         leaky = 0.1 if self.out_ch <= 64 else 0.0
-        o1 = ConvBN(self.out_ch, 1, leaky=leaky, dtype=self.dtype, name="output1")(
-            feats[0], train)
-        o2 = ConvBN(self.out_ch, 1, leaky=leaky, dtype=self.dtype, name="output2")(
-            feats[1], train)
-        o3 = ConvBN(self.out_ch, 1, leaky=leaky, dtype=self.dtype, name="output3")(
-            feats[2], train)
+        q = self.quant
+        o1 = ConvBN(self.out_ch, 1, leaky=leaky, dtype=self.dtype, quant=q,
+                    name="output1")(feats[0], train)
+        o2 = ConvBN(self.out_ch, 1, leaky=leaky, dtype=self.dtype, quant=q,
+                    name="output2")(feats[1], train)
+        o3 = ConvBN(self.out_ch, 1, leaky=leaky, dtype=self.dtype, quant=q,
+                    name="output3")(feats[2], train)
         o2 = o2 + _upsample_nearest_to(o3, (o2.shape[1], o2.shape[2]))
-        o2 = ConvBN(self.out_ch, 3, leaky=leaky, dtype=self.dtype, name="merge2")(
-            o2, train)
+        o2 = ConvBN(self.out_ch, 3, leaky=leaky, dtype=self.dtype, quant=q,
+                    name="merge2")(o2, train)
         o1 = o1 + _upsample_nearest_to(o2, (o1.shape[1], o1.shape[2]))
-        o1 = ConvBN(self.out_ch, 3, leaky=leaky, dtype=self.dtype, name="merge1")(
-            o1, train)
+        o1 = ConvBN(self.out_ch, 3, leaky=leaky, dtype=self.dtype, quant=q,
+                    name="merge1")(o1, train)
         return o1, o2, o3
 
 
 class SSH(nn.Module):
     out_ch: int
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         leaky = 0.1 if self.out_ch <= 64 else 0.0
-        c3 = ConvBN(self.out_ch // 2, 3, relu=False, dtype=self.dtype,
+        q = self.quant
+        c3 = ConvBN(self.out_ch // 2, 3, relu=False, dtype=self.dtype, quant=q,
                     name="conv3X3")(x, train)
-        c5_1 = ConvBN(self.out_ch // 4, 3, leaky=leaky, dtype=self.dtype,
+        c5_1 = ConvBN(self.out_ch // 4, 3, leaky=leaky, dtype=self.dtype, quant=q,
                       name="conv5X5_1")(x, train)
-        c5 = ConvBN(self.out_ch // 4, 3, relu=False, dtype=self.dtype,
+        c5 = ConvBN(self.out_ch // 4, 3, relu=False, dtype=self.dtype, quant=q,
                     name="conv5X5_2")(c5_1, train)
-        c7_2 = ConvBN(self.out_ch // 4, 3, leaky=leaky, dtype=self.dtype,
+        c7_2 = ConvBN(self.out_ch // 4, 3, leaky=leaky, dtype=self.dtype, quant=q,
                       name="conv7X7_2")(c5_1, train)
-        c7 = ConvBN(self.out_ch // 4, 3, relu=False, dtype=self.dtype,
+        c7 = ConvBN(self.out_ch // 4, 3, relu=False, dtype=self.dtype, quant=q,
                     name="conv7x7_3")(c7_2, train)
         return nn.relu(jnp.concatenate([c3, c5, c7], axis=-1))
 
@@ -291,23 +391,33 @@ class RetinaFace(nn.Module):
     #: exact space-to-depth stem reformulation (see StemConv) — same params,
     #: same math, MXU-friendly layout; inference-speed option.
     s2d_stem: bool = False
+    #: dynamically-quantized int8 serving path (layers.int8_conv): backbone +
+    #: FPN + SSH convs run int8 on the MXU (~1.85x conv speedup on v5e);
+    #: heads stay bf16 for box-regression precision. Same checkpoint tree as
+    #: the exact path; quality drift quantified in PARITY.md.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False):
         if self.backbone == "resnet50":
             feats = ResNet50Backbone(
-                dtype=self.dtype, s2d_stem=self.s2d_stem, name="body"
+                dtype=self.dtype, s2d_stem=self.s2d_stem, quant=self.quant,
+                name="body",
             )(x, train)
             out_ch = 256
         elif self.backbone == "mobilenet0.25":
-            feats = MobileNetV1Backbone(dtype=self.dtype, name="body")(x, train)
+            feats = MobileNetV1Backbone(
+                dtype=self.dtype, quant=self.quant, name="body"
+            )(x, train)
             out_ch = 64
         else:
             raise ValueError(self.backbone)
 
-        fpn = FPN(out_ch, dtype=self.dtype, name="fpn")(feats, train)
+        fpn = FPN(out_ch, dtype=self.dtype, quant=self.quant, name="fpn")(
+            feats, train)
         features = [
-            SSH(out_ch, dtype=self.dtype, name=f"ssh{i + 1}")(f, train)
+            SSH(out_ch, dtype=self.dtype, quant=self.quant, name=f"ssh{i + 1}")(
+                f, train)
             for i, f in enumerate(fpn)
         ]
 

@@ -53,7 +53,10 @@ class DetectStage:
         s2d = cfg.s2d_stem
         if s2d == "auto":
             s2d = jax.default_backend() == "tpu" and dtype == jnp.bfloat16
-        self.model = RetinaFace(backbone=cfg.backbone, dtype=dtype, s2d_stem=bool(s2d))
+        self.model = RetinaFace(
+            backbone=cfg.backbone, dtype=dtype, s2d_stem=bool(s2d),
+            quant=cfg.quant == "int8",
+        )
         self.mesh = mesh
         if mesh is not None:
             # multi-chip inference: replicate weights, shard the frame batch
@@ -69,6 +72,39 @@ class DetectStage:
             variables = jax.device_put(variables)
         self.variables = variables
         self._jit_forward = jax.jit(self._forward_impl)
+        if cfg.quant == "int8":
+            # static activation scales: without them every conv pays a
+            # full-tensor max reduction per call, which costs more than int8
+            # saves (experiments/exp_r4c). Default calibration on noise
+            # frames bounds the first-layer ranges; call ``calibrate`` with
+            # representative frames for production serving.
+            import numpy as _np
+
+            self.calibrate(
+                _np.random.default_rng(0).integers(
+                    0, 255, (2, 160, 160, 3), _np.uint8
+                )
+            )
+
+    def calibrate(self, frames: "np.ndarray") -> None:
+        """Record per-conv activation max-abs ("act_scales") from real
+        frames for the int8 path. Cheap (one forward); can be re-run —
+        scales only grow (running max), so calibration is cumulative."""
+        x = retinaface_normalize(jnp.asarray(frames))
+
+        @jax.jit
+        def _collect(variables, x):
+            _, upd = self.model.apply(variables, x, mutable=["act_scales"])
+            return upd["act_scales"]
+
+        scales = _collect(self.variables, x)
+        if self.mesh is not None:
+            from avcer_tpu.parallel import mesh as mesh_lib
+
+            scales = jax.device_put(scales, mesh_lib.replicated(self.mesh))
+        else:
+            scales = jax.device_put(scales)
+        self.variables = {**self.variables, "act_scales": scales}
 
     def _shard_input(self, x: jax.Array | np.ndarray) -> jax.Array:
         if self.mesh is None:
@@ -115,9 +151,13 @@ class DetectStage:
         cand_boxes, cand_scores, valid, idx = nms_ops.topk_candidates(
             boxes, scores, k, self.cfg.threshold
         )
-        use_pallas = self.cfg.nms_impl == "pallas" or (
-            self.cfg.nms_impl == "auto" and jax.default_backend() == "tpu"
-        )
+        # "auto" resolves to the XLA loop: in-program loop timing (the only
+        # reliable microbench through this relay — experiments/exp_r4b) puts
+        # the XLA fori-loop NMS at 0.093 ms/batch vs 0.346 for the Pallas
+        # kernel on v5e; the earlier per-dispatch slope that favored Pallas
+        # was measuring relay jitter. The Pallas kernel stays available
+        # (bit-exact, tested) as an explicit opt-in.
+        use_pallas = self.cfg.nms_impl == "pallas"
         if use_pallas:
             from avcer_tpu.ops.pallas.nms_kernel import pallas_nms_mask
 

@@ -200,6 +200,7 @@ def evaluate_bucket_recall(
     seed: int = 100,
     threshold: float = 0.5,
     backbone: str = "mobilenet0.25",
+    quant: str = "none",
 ) -> dict:
     """Per-face-size recall and localization IoU of the detection stage at
     native resolution (bucket 0) vs letterbox buckets — the SURVEY §7 hard
@@ -211,9 +212,16 @@ def evaluate_bucket_recall(
     for bucket in buckets:
         cfg = DetectorConfig(
             backbone=backbone, long_side=bucket, threshold=threshold,
-            dtype="float32", transfer_format="bgr", batch_size=1,
+            dtype="float32", transfer_format="bgr", batch_size=1, quant=quant,
         )
         stage = DetectStage(cfg, variables, dtype=jnp.float32)
+        if quant != "none":
+            # calibrate activation scales on a representative rendered scene
+            # (the production flow: DetectStage.calibrate on real frames)
+            img0, _ = render_face_scene(
+                np.random.default_rng(seed + 7), scene_hw, list(size_bins)
+            )
+            stage.calibrate(img0[None])
         hits = {s: [] for s in size_bins}
         ious = {s: [] for s in size_bins}
         rng = np.random.default_rng(seed)

@@ -85,3 +85,15 @@ def test_synthetic_detector_learns_and_bucket_recall(tmp_path):
     # (16 px * 0.5 = 8 px, below the stride-8 anchor band)
     assert res[160][96]["recall"] >= 0.5
     assert res[160][16]["recall"] <= res[0][16]["recall"]
+
+    # int8 serving path: detection quality of the TRAINED detector holds
+    # (this is the real quality gate for DetectorConfig.quant — the unit
+    # drift bounds in test_model_parity.py only catch gross breakage)
+    res_q = detection.evaluate_bucket_recall(
+        variables, scene_hw=(256, 320), buckets=[0],
+        size_bins=[16, 48, 96], n_scenes=6, threshold=0.4, quant="int8",
+    )
+    for s in (48, 96):
+        assert res_q[0][s]["recall"] >= res[0][s]["recall"] - 0.2, (s, res_q)
+        if res_q[0][s]["recall"] > 0:
+            assert res_q[0][s]["mean_iou"] >= res[0][s]["mean_iou"] - 0.1

@@ -142,6 +142,54 @@ def test_s2d_stem_exactness(rng):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
 
 
+def test_retinaface_int8_quant_close_to_exact(rng):
+    """The int8 serving path (QConv/int8_conv) shares the exact path's
+    variable tree and stays within quantization tolerance of it on both
+    backbones. Conf is softmaxed (bounded) -> tight atol; loc/landms are
+    regression offsets -> relative band."""
+    x = jnp.asarray(rng.normal(size=(2, 96, 80, 3)).astype(np.float32) * 20)
+    for backbone in ("resnet50", "mobilenet0.25"):
+        base = RetinaFace(backbone=backbone, dtype=jnp.float32)
+        variables = base.init(jax.random.PRNGKey(2), x)
+        # calibrate BN running stats to the actual activation distribution
+        # (a raw random init leaves mean=0/var=1 stats wildly off, which
+        # makes per-tensor activation scales outlier-dominated — trained
+        # checkpoints don't look like that)
+        for i in range(8):
+            xc = jnp.asarray(
+                rng.normal(size=(2, 96, 80, 3)).astype(np.float32) * 20
+            )
+            _, upd = base.apply(variables, xc, True, mutable=["batch_stats"])
+            variables = {"params": variables["params"],
+                         "batch_stats": upd["batch_stats"]}
+        loc, conf, landms = jax.jit(base.apply)(variables, x)
+        q = RetinaFace(backbone=backbone, dtype=jnp.float32, quant=True)
+        # same checkpoint tree: quant init's params/batch_stats must match
+        # the exact path exactly (act_scales is an extra, optional collection)
+        qv = q.init(jax.random.PRNGKey(2), x)
+        for coll in ("params", "batch_stats"):
+            assert jax.tree.structure(qv[coll]) == jax.tree.structure(
+                variables[coll]
+            ), coll
+        loc2, conf2, landms2 = jax.jit(q.apply)(variables, x)
+        # bounds calibrated to the measured drift of a BN-calibrated random
+        # net (conf max 0.046, loc mean/rms 0.21): catches catastrophic
+        # breakage (wrong scales drift ~1.0); trained-net detection quality
+        # is gated separately in test_detection_training.py
+        assert float(jnp.max(jnp.abs(conf2 - conf))) < 0.10
+        loc_rms = float(jnp.std(loc)) + 1e-6
+        assert float(jnp.mean(jnp.abs(loc2 - loc))) / loc_rms < 0.35
+        lm_rms = float(jnp.std(landms)) + 1e-6
+        assert float(jnp.mean(jnp.abs(landms2 - landms))) / lm_rms < 0.35
+        # static calibrated scales (the serving path) stay in the same band
+        _, upd = q.apply(variables, x, mutable=["act_scales"])
+        qv_cal = {**variables, "act_scales": upd["act_scales"]}
+        loc3, conf3, landms3 = jax.jit(q.apply)(qv_cal, x)
+        assert float(jnp.max(jnp.abs(conf3 - conf))) < 0.10
+        assert float(jnp.mean(jnp.abs(loc3 - loc))) / loc_rms < 0.35
+        assert float(jnp.mean(jnp.abs(landms3 - landms))) / lm_rms < 0.35
+
+
 def test_retinaface_s2d_stem_same_outputs(rng):
     """Full detector outputs match between stem implementations with shared
     variables (the conversion/param tree is unchanged by s2d_stem)."""
