@@ -88,6 +88,9 @@ class VisualConfig:
     #: 0.139 at 128 — BENCH_NOTES.md round-2 table)
     batch_size: int = 256
     dtype: str = "bfloat16"
+    #: "int8" = quantized static-CNN serving (models/emotion_resnet.py quant;
+    #: same checkpoint tree, calibrated activation scales). LSTM stays bf16.
+    quant: str = "none"
 
 
 @dataclass(frozen=True)

@@ -21,7 +21,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from avcer_tpu.models.layers import Dtype, TorchBatchNorm
+from avcer_tpu.models.layers import Dtype, QConv, TorchBatchNorm
 
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.01  # torch momentum 0.99 convention quirk: reference passes
@@ -43,35 +43,32 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        def conv(ch, k, s, pad, name):
+            if self.quant:
+                return QConv(ch, (k, k), strides=(s, s), padding=pad,
+                             use_bias=False, dtype=self.dtype, name=name)
+            return nn.Conv(ch, (k, k), strides=(s, s), padding=pad,
+                           use_bias=False, dtype=self.dtype, name=name)
+
         identity = x
-        h = nn.Conv(
-            self.planes, (1, 1), strides=(self.stride, self.stride),
-            padding="VALID", use_bias=False, dtype=self.dtype, name="conv1",
-        )(x)
+        h = conv(self.planes, 1, self.stride, "VALID", "conv1")(x)
         h = TorchBatchNorm(eps=BN_EPS, momentum=BN_MOMENTUM, dtype=self.dtype,
                            name="batch_norm1")(h, not train)
         h = nn.relu(h)
-        h = nn.Conv(
-            self.planes, (3, 3), padding="SAME", use_bias=False,
-            dtype=self.dtype, name="conv2",
-        )(h)
+        h = conv(self.planes, 3, 1, "SAME", "conv2")(h)
         h = TorchBatchNorm(eps=BN_EPS, momentum=BN_MOMENTUM, dtype=self.dtype,
                            name="batch_norm2")(h, not train)
         h = nn.relu(h)
-        h = nn.Conv(
-            self.planes * 4, (1, 1), padding="VALID", use_bias=False,
-            dtype=self.dtype, name="conv3",
-        )(h)
+        h = conv(self.planes * 4, 1, 1, "VALID", "conv3")(h)
         h = TorchBatchNorm(eps=BN_EPS, momentum=BN_MOMENTUM, dtype=self.dtype,
                            name="batch_norm3")(h, not train)
         if self.downsample:
-            identity = nn.Conv(
-                self.planes * 4, (1, 1), strides=(self.stride, self.stride),
-                padding="VALID", use_bias=False, dtype=self.dtype,
-                name="downsample_conv",
+            identity = conv(
+                self.planes * 4, 1, self.stride, "VALID", "downsample_conv"
             )(identity)
             identity = TorchBatchNorm(
                 eps=BN_EPS, momentum=BN_MOMENTUM, dtype=self.dtype,
@@ -90,6 +87,10 @@ class EmotionResNet50(nn.Module):
     num_classes: int = 7
     dtype: Dtype = jnp.float32
     layer_sizes: tuple[int, int, int, int] = (3, 4, 6, 3)
+    #: int8 serving path (layers.QConv / int8_conv): all bottleneck + stem
+    #: convs run quantized on the MXU; fc head stays bf16. Same checkpoint
+    #: tree; calibrate via the "act_scales" collection (VisualConfig.quant).
+    quant: bool = False
 
     @nn.compact
     def __call__(
@@ -98,7 +99,8 @@ class EmotionResNet50(nn.Module):
         x = x.astype(self.dtype)
         h, w = x.shape[1], x.shape[2]
         ph, pw = same_pad(h, 7, 2), same_pad(w, 7, 2)
-        h_ = nn.Conv(
+        stem_cls = QConv if self.quant else nn.Conv
+        h_ = stem_cls(
             64, (7, 7), strides=(2, 2), padding=(ph, pw), use_bias=False,
             dtype=self.dtype, name="conv_stem",
         )(x)
@@ -116,7 +118,7 @@ class EmotionResNet50(nn.Module):
                 ds = bi == 0 and (s != 1 or in_ch != p * 4)
                 h_ = Bottleneck(
                     p, stride=s, downsample=ds, dtype=self.dtype,
-                    name=f"layer{li + 1}_{bi}",
+                    quant=self.quant, name=f"layer{li + 1}_{bi}",
                 )(h_, train)
                 in_ch = p * 4
 

@@ -123,6 +123,69 @@ def int8_conv(
     return (acc.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
 
 
+def activation_amax(mod: nn.Module, x: jax.Array):
+    """Per-tensor activation max-abs for int8 quantization, held in the
+    "act_scales" variable collection.
+
+    Three modes by context:
+    - collection mutable (a calibration pass — the stage runs the model with
+      ``mutable=["act_scales"]``): update the running max with this input
+      and use it;
+    - calibrated (stage variables carry act_scales): read the static
+      scalar — the quantize fuses into the producing op, no reduction;
+    - uncalibrated + immutable (e.g. parity tests calling apply directly):
+      return None -> int8_conv falls back to the dynamic per-call scale.
+    """
+    if mod.is_mutable_collection("act_scales"):
+        v = mod.variable(
+            "act_scales", "amax", lambda: jnp.asarray(0.0, jnp.float32)
+        )
+        v.value = jnp.maximum(v.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+        return v.value
+    if mod.has_variable("act_scales", "amax"):
+        return mod.get_variable("act_scales", "amax")
+    return None
+
+
+class QConv(nn.Module):
+    """Drop-in dynamically/statically-quantized int8 replacement for
+    ``nn.Conv``.
+
+    Same parameter names, shapes, and initializers as nn.Conv (HWIO
+    "kernel" + optional "bias"), so converted reference checkpoints load
+    into either path unchanged; the int8 rounding happens inside the
+    program (see int8_conv / activation_amax). Inference-only.
+    """
+
+    features: int
+    kernel_size: tuple[int, int]
+    strides: tuple[int, int] = (1, 1)
+    padding: Any = 0
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features), jnp.float32,
+        )
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        y = int8_conv(
+            x, kernel, strides=self.strides, padding=pad, out_dtype=self.dtype,
+            act_amax=activation_amax(self, x),
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 def max_pool_1d(x: jax.Array, window: int, stride: int | None = None) -> jax.Array:
     """torch MaxPool1d (valid padding, floor mode). x: [..., L, C]."""
     stride = stride or window

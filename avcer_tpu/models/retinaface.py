@@ -25,70 +25,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from avcer_tpu.models.layers import Dtype, TorchBatchNorm, int8_conv
-
-
-def _activation_amax(mod: nn.Module, x: jax.Array):
-    """Per-tensor activation max-abs for int8 quantization, held in the
-    "act_scales" variable collection.
-
-    Three modes by context:
-    - collection mutable (a calibration pass — DetectStage.calibrate runs
-      the model with ``mutable=["act_scales"]``): update the running max
-      with this input and use it;
-    - calibrated (checkpoint/stage carries act_scales): read the static
-      scalar — the quantize fuses into the producing op, no reduction;
-    - uncalibrated + immutable (e.g. parity tests calling apply directly):
-      return None -> int8_conv falls back to the dynamic per-call scale.
-    """
-    if mod.is_mutable_collection("act_scales"):
-        v = mod.variable(
-            "act_scales", "amax", lambda: jnp.asarray(0.0, jnp.float32)
-        )
-        v.value = jnp.maximum(v.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
-        return v.value
-    if mod.has_variable("act_scales", "amax"):
-        return mod.get_variable("act_scales", "amax")
-    return None
-
-
-class QConv(nn.Module):
-    """Drop-in dynamically-quantized int8 replacement for ``nn.Conv``.
-
-    Same parameter names, shapes, and initializers as nn.Conv (HWIO
-    "kernel" + optional "bias"), so converted reference checkpoints load
-    into either path unchanged; the int8 rounding happens inside the
-    program (see layers.int8_conv). Inference-only (no custom VJP needed —
-    the detector is served frozen).
-    """
-
-    features: int
-    kernel_size: tuple[int, int]
-    strides: tuple[int, int] = (1, 1)
-    padding: int | str = 0
-    use_bias: bool = True
-    dtype: Dtype = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        kh, kw = self.kernel_size
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
-            (kh, kw, x.shape[-1], self.features), jnp.float32,
-        )
-        pad = self.padding
-        if isinstance(pad, int):
-            pad = ((pad, pad), (pad, pad))
-        y = int8_conv(
-            x, kernel, strides=self.strides, padding=pad, out_dtype=self.dtype,
-            act_amax=_activation_amax(self, x),
-        )
-        if self.use_bias:
-            bias = self.param(
-                "bias", nn.initializers.zeros, (self.features,), jnp.float32
-            )
-            y = y + bias.astype(self.dtype)
-        return y
+from avcer_tpu.models.layers import (
+    Dtype, QConv, TorchBatchNorm, activation_amax as _activation_amax,
+    int8_conv,
+)
 
 
 class ConvBN(nn.Module):

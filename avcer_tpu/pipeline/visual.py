@@ -105,8 +105,11 @@ class VisualStage:
         dtype=jnp.bfloat16,
         batch_size: int = 64,
         mesh=None,
+        quant: str = "none",
     ):
-        self.static_model = EmotionResNet50(num_classes=num_classes, dtype=dtype)
+        self.static_model = EmotionResNet50(
+            num_classes=num_classes, dtype=dtype, quant=quant == "int8"
+        )
         self.lstm_model = TemporalLSTM(num_classes=num_classes, dtype=dtype)
         self.mesh = mesh
         if mesh is not None:
@@ -125,6 +128,37 @@ class VisualStage:
         self._jit_static = jax.jit(self._static_impl)
         self._jit_static_from_frames = jax.jit(self._static_from_frames_impl)
         self._jit_lstm = jax.jit(self._lstm_impl)
+        if quant == "int8":
+            # static activation scales for the int8 CNN (see
+            # pipeline/detect.py — dynamic per-conv scales cost more than
+            # int8 saves); recalibrate on real crops for production serving
+            import numpy as _np
+
+            self.calibrate(
+                _np.random.default_rng(0).integers(
+                    0, 255, (2, 224, 224, 3), _np.uint8
+                )
+            )
+
+    def calibrate(self, crops: "np.ndarray") -> None:
+        """Record per-conv activation max-abs from real 224x224 crops for
+        the int8 path (cumulative running max — safe to re-run)."""
+
+        @jax.jit
+        def _collect(variables, x):
+            _, upd = self.static_model.apply(
+                variables, vggface_normalize(x), mutable=["act_scales"]
+            )
+            return upd["act_scales"]
+
+        scales = _collect(self.static_variables, jnp.asarray(crops))
+        if self.mesh is not None:
+            from avcer_tpu.parallel import mesh as mesh_lib
+
+            scales = jax.device_put(scales, mesh_lib.replicated(self.mesh))
+        else:
+            scales = jax.device_put(scales)
+        self.static_variables = {**self.static_variables, "act_scales": scales}
 
     def _shard(self, x) -> jax.Array:
         if self.mesh is None:

@@ -142,6 +142,36 @@ def test_s2d_stem_exactness(rng):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
 
 
+def test_emotion_resnet_int8_quant_close_to_exact(rng):
+    """VisualConfig.quant='int8': softmax probs of the quantized CNN stay
+    within quantization tolerance of the exact path (same checkpoint tree),
+    in both dynamic-fallback and calibrated-static modes."""
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32) * 60)
+    base = EmotionResNet50(num_classes=7, dtype=jnp.float32)
+    variables = base.init(jax.random.PRNGKey(3), x)
+    for i in range(8):
+        xc = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32) * 60)
+        _, upd = base.apply(variables, xc, True, mutable=["batch_stats"])
+        variables = {"params": variables["params"],
+                     "batch_stats": upd["batch_stats"]}
+    logits, feats = jax.jit(base.apply)(variables, x)
+    probs = jax.nn.softmax(logits, -1)
+    q = EmotionResNet50(num_classes=7, dtype=jnp.float32, quant=True)
+    for coll in ("params", "batch_stats"):
+        qv = q.init(jax.random.PRNGKey(3), x)
+        assert jax.tree.structure(qv[coll]) == jax.tree.structure(
+            variables[coll]
+        ), coll
+    logits2, feats2 = jax.jit(q.apply)(variables, x)  # dynamic fallback
+    assert float(jnp.max(jnp.abs(jax.nn.softmax(logits2, -1) - probs))) < 0.10
+    _, upd = q.apply(variables, x, mutable=["act_scales"])
+    qv_cal = {**variables, "act_scales": upd["act_scales"]}
+    logits3, feats3 = jax.jit(q.apply)(qv_cal, x)  # calibrated static
+    assert float(jnp.max(jnp.abs(jax.nn.softmax(logits3, -1) - probs))) < 0.10
+    f_rms = float(jnp.std(feats)) + 1e-6
+    assert float(jnp.mean(jnp.abs(feats3 - feats))) / f_rms < 0.35
+
+
 def test_retinaface_int8_quant_close_to_exact(rng):
     """The int8 serving path (QConv/int8_conv) shares the exact path's
     variable tree and stays within quantization tolerance of it on both
