@@ -105,6 +105,9 @@ class AudioConfig:
     padding: str = "mean"  # mean | constant | repeat
     batch_size: int = 16
     dtype: str = "bfloat16"
+    #: "int8" = quantized wav2vec2 encoder projections (Wav2Vec2Config.quant;
+    #: same checkpoint tree, calibrated activation scales).
+    quant: str = "none"
 
 
 @dataclass(frozen=True)
@@ -227,14 +230,36 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
                    help="detect every Nth frame (opt-in speed mode; boxes "
                         "interpolated between detections, CNN still runs "
                         "every frame)")
+    p.add_argument("--serving_profile",
+                   choices=["parity", "int8", "fast", "turbo"], default="parity",
+                   help="measured speed/quality presets (BENCH_NOTES.md "
+                        "round-4 table): parity = reference-exact r50@640 "
+                        "bf16; int8 = same models, calibrated int8 convs; "
+                        "fast = int8 + the reference's mobilenet0.25 "
+                        "backbone; turbo = fast + 448 bucket + detect "
+                        "stride 2. Explicit flags override the preset.")
     a = p.parse_args(argv)
     head = a.audio_head or ("v3" if a.audio_classes == 8 else "v2")
+    quant = "none" if a.serving_profile == "parity" else "int8"
+    backbone = (
+        "mobilenet0.25" if a.serving_profile in ("fast", "turbo") else "resnet50"
+    )
+    long_side = a.long_side
+    stride = a.detect_stride
+    if a.serving_profile == "turbo":
+        if long_side == 640:  # not explicitly overridden
+            long_side = 448
+        if stride == 1:
+            stride = 2
     cfg = PipelineConfig(
-        detector=DetectorConfig(long_side=a.long_side, stride=a.detect_stride),
+        detector=DetectorConfig(
+            long_side=long_side, stride=stride, backbone=backbone, quant=quant,
+        ),
+        visual=VisualConfig(quant=quant),
         calibrate=a.calibrate,
         audio=AudioConfig(
             num_classes=a.audio_classes, head=head,
-            padding=a.audio_padding, step_sec=a.audio_step,
+            padding=a.audio_padding, step_sec=a.audio_step, quant=quant,
         ),
         fusion=FusionConfig(
             use_published_weights=not a.no_published_weights,

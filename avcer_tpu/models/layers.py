@@ -123,6 +123,63 @@ def int8_conv(
     return (acc.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
 
 
+def int8_matmul(
+    x: jax.Array,
+    kernel: jax.Array,
+    *,
+    out_dtype: Dtype = jnp.bfloat16,
+    act_amax: jax.Array | None = None,
+) -> jax.Array:
+    """Dynamically/statically-quantized int8 matmul over the last axis
+    (x [..., K] @ kernel [K, N]); same scale scheme as int8_conv
+    (per-tensor activation, per-output-column weight, int32 accumulation).
+    Measured 1.61x vs bf16 on the wav2vec2 FFN shape (exp_r5b)."""
+    if act_amax is None:
+        sx = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
+    else:
+        sx = act_amax.astype(jnp.float32) / 127.0
+    sx = jnp.maximum(sx, 1e-10)
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / sx), -127, 127
+    ).astype(jnp.int8)
+    sw = jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=0) / 127.0
+    sw = jnp.maximum(sw, 1e-10)
+    wq = jnp.clip(
+        jnp.round(kernel.astype(jnp.float32) / sw), -127, 127
+    ).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
+
+
+class QDense(nn.Module):
+    """Drop-in int8 replacement for ``nn.Dense`` (same param names/shapes/
+    init — "kernel" [in, features] + "bias"), using int8_matmul with the
+    act_scales calibration mechanic (see activation_amax)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features), jnp.float32,
+        )
+        y = int8_matmul(
+            x, kernel, out_dtype=self.dtype, act_amax=activation_amax(self, x)
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 def activation_amax(mod: nn.Module, x: jax.Array):
     """Per-tensor activation max-abs for int8 quantization, held in the
     "act_scales" variable collection.

@@ -28,7 +28,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from avcer_tpu.models.layers import Dtype, gelu_exact, scaled_dot_attention
+from avcer_tpu.models.layers import (
+    Dtype, QDense, gelu_exact, scaled_dot_attention,
+)
 
 
 @dataclass(frozen=True)
@@ -52,6 +54,11 @@ class Wav2Vec2Config:
     #: required for training batches >= 24 on a single chip (train-time only;
     #: no effect on inference)
     remat: bool = False
+    #: int8 serving: the 6 Dense projections per encoder layer (q/k/v/out +
+    #: FFN) run quantized on the MXU (layers.QDense, 1.61x on the FFN
+    #: matmul); LayerNorms, attention softmax, feature extractor and heads
+    #: stay exact. Calibrate act_scales via AudioStage (inference-only).
+    quant: bool = False
 
     def num_output_frames(self, num_samples: int) -> int:
         n = num_samples
@@ -128,6 +135,7 @@ class EncoderLayerStableLN(nn.Module):
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         c = self.config
         head_dim = c.hidden_size // c.num_heads
+        dense_cls = QDense if c.quant else nn.Dense
         residual = x
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="layer_norm")(
             x
@@ -135,7 +143,7 @@ class EncoderLayerStableLN(nn.Module):
         b, t = h.shape[0], h.shape[1]
 
         def proj(name: str, inp: jax.Array) -> jax.Array:
-            y = nn.Dense(c.hidden_size, dtype=self.dtype, name=name)(inp)
+            y = dense_cls(c.hidden_size, dtype=self.dtype, name=name)(inp)
             return y.reshape(b, t, c.num_heads, head_dim).transpose(0, 2, 1, 3)
 
         # HF scales q by head_dim**-0.5 before the matmul; mathematically the
@@ -150,7 +158,7 @@ class EncoderLayerStableLN(nn.Module):
         else:
             attn = scaled_dot_attention(q, k, v, dtype=self.dtype)
         attn = attn.transpose(0, 2, 1, 3).reshape(b, t, c.hidden_size)
-        attn = nn.Dense(c.hidden_size, dtype=self.dtype, name="attention_out_proj")(attn)
+        attn = dense_cls(c.hidden_size, dtype=self.dtype, name="attention_out_proj")(attn)
         attn = nn.Dropout(0.1)(attn, deterministic=deterministic)
         x = residual + attn
 
@@ -158,10 +166,10 @@ class EncoderLayerStableLN(nn.Module):
         h = nn.LayerNorm(
             epsilon=c.layer_norm_eps, dtype=jnp.float32, name="final_layer_norm"
         )(x).astype(self.dtype)
-        h = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate_dense")(h)
+        h = dense_cls(c.intermediate_size, dtype=self.dtype, name="intermediate_dense")(h)
         h = gelu_exact(h)
         h = nn.Dropout(0.1)(h, deterministic=deterministic)
-        h = nn.Dense(c.hidden_size, dtype=self.dtype, name="output_dense")(h)
+        h = dense_cls(c.hidden_size, dtype=self.dtype, name="output_dense")(h)
         h = nn.Dropout(0.1)(h, deterministic=deterministic)
         return residual + h
 

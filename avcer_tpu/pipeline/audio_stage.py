@@ -63,10 +63,15 @@ class AudioStage:
         mesh=None,
     ):
         self.cfg = cfg
+        w2v2 = wav2vec2_config or Wav2Vec2Config()
+        if cfg.quant == "int8":
+            import dataclasses
+
+            w2v2 = dataclasses.replace(w2v2, quant=True)
         self.model = ExprModel(
             variant=cfg.head,
             num_classes=cfg.num_classes,
-            wav2vec2_config=wav2vec2_config or Wav2Vec2Config(),
+            wav2vec2_config=w2v2,
             dtype=dtype,
         )
         self.mesh = mesh
@@ -84,6 +89,38 @@ class AudioStage:
         self._jit_forward_from_wav = jax.jit(
             self._forward_from_wav_impl, static_argnames=("padding",)
         )
+        if cfg.quant == "int8":
+            # static activation scales (see pipeline/detect.py) — seeded on
+            # noise windows; call calibrate() with real windows for serving
+            import numpy as _np
+
+            window = int(cfg.window_sec * cfg.sample_rate)
+            self.calibrate(
+                _np.random.default_rng(0)
+                .normal(size=(2, window))
+                .astype(_np.float32)
+            )
+
+    def calibrate(self, windows: "np.ndarray") -> None:
+        """Record per-projection activation max-abs ("act_scales") from real
+        audio windows for the int8 path (cumulative running max)."""
+
+        @jax.jit
+        def _collect(variables, x):
+            _, upd = self.model.apply(
+                variables, audio_ops.feature_extractor_normalize(x),
+                mutable=["act_scales"],
+            )
+            return upd["act_scales"]
+
+        scales = _collect(self.variables, jnp.asarray(windows))
+        if self.mesh is not None:
+            from avcer_tpu.parallel import mesh as mesh_lib
+
+            scales = jax.device_put(scales, mesh_lib.replicated(self.mesh))
+        else:
+            scales = jax.device_put(scales)
+        self.variables = {**self.variables, "act_scales": scales}
 
     def _forward_impl(self, variables: dict, windows: jax.Array) -> jax.Array:
         x = audio_ops.feature_extractor_normalize(windows)

@@ -199,12 +199,18 @@ class Pipeline:
 
     # ------------------------------------------------------------------
     def detect_track_device(
-        self, reader: media.VideoReader
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        self, reader: media.VideoReader, crop_step: Optional[int] = None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, Optional[np.ndarray]]:
         """Fast path: frames stay ON DEVICE; detection results come back in
         ONE fetch per chunk; face crops are gathered on device and fed
         straight into the CNN (runner.run wires that). Returns
-        (present [T], stat_probs [P, C], feats [P, 512]).
+        (present [T], stat_probs [P, C], feats [P, 512], step_crops).
+
+        crop_step: if set, ALSO fetch uint8 224x224 crops for the frames on
+        the dynamic-model cadence (absolute frame index % crop_step == 0 and
+        present — exactly the frames build_temporal_plan marks as step
+        frames), so the heatmap path gets its overlays without reverting the
+        whole clip to host cropping. step_crops is None when crop_step is.
 
         Rationale: through a tunneled PJRT the per-transfer latency is
         ~0.5-1 s regardless of size, so the reference-style
@@ -226,6 +232,7 @@ class Pipeline:
         frames_in_pending = 0
         chunk_cap = max(cfg.batch_size, 512)
         stride = cfg.stride
+        step_crops_list: list[np.ndarray] = []
 
         # pass 1 — per DETECTED frame: tracker update + target (tid 1) box in
         # native float coords, validated with the reference's int-cast clamp
@@ -320,9 +327,21 @@ class Pipeline:
             b[:, 1] = np.minimum(b[:, 1], lb_h - 2)
             b[:, 2] = np.maximum(b[:, 2], b[:, 0] + 1)
             b[:, 3] = np.maximum(b[:, 3], b[:, 1] + 1)
+            global_base = len(present_all)
             present_all.extend(present.tolist())
             present_idx = frame_ids[present].astype(np.int32)
             boxes_lb = b[present]
+            if crop_step:
+                gsel = present & (
+                    (global_base + frame_ids) % crop_step == 0
+                )
+                if gsel.any():
+                    step_crops_list.append(
+                        self.visual.fetch_crops(
+                            frames_dev, frame_ids[gsel].astype(np.int32),
+                            b[gsel],
+                        )
+                    )
             tacc["track"] += time.perf_counter() - t0
             t0 = time.perf_counter()
             if present_idx.size:
@@ -384,7 +403,14 @@ class Pipeline:
         feats = (
             np.concatenate(feats_list) if feats_list else np.zeros((0, 512), np.float32)
         )
-        return np.asarray(present_all, bool), stat, feats
+        step_crops = None
+        if crop_step:
+            step_crops = (
+                np.concatenate(step_crops_list)
+                if step_crops_list
+                else np.zeros((0, 224, 224, 3), np.uint8)
+            )
+        return np.asarray(present_all, bool), stat, feats, step_crops
 
     # ------------------------------------------------------------------
     def _audio_task(
@@ -431,16 +457,22 @@ class Pipeline:
         )
 
         t0 = time.perf_counter()
-        # the host-crop path materializes uint8 crops (needed for the jpg
-        # dump and heatmap overlays); the device path never moves pixels back
-        use_host_crops = bool(self.cfg.save_face_crops or self.cfg.heatmaps)
-        crops = None
+        step = registry.dynamic_step(meta.fps)
+        # the host-crop path materializes every crop (needed for the jpg
+        # dump); heatmaps only need the STEP-frame crops, which the device
+        # path fetches on the side (detect_track_device crop_step) instead
+        # of reverting the whole clip to per-frame host cropping
+        use_host_crops = bool(self.cfg.save_face_crops)
+        want_heatmaps = bool(self.cfg.heatmaps and path_save)
+        crops = step_crops = None
         if use_host_crops:
             save_dir = path_save if self.cfg.save_face_crops and path_save else None
             present, crops = self.detect_and_crop(reader, save_dir)
             stat_probs_p = feats_p = None
         else:
-            present, stat_probs_p, feats_p = self.detect_track_device(reader)
+            present, stat_probs_p, feats_p, step_crops = self.detect_track_device(
+                reader, crop_step=step if want_heatmaps else None
+            )
         reader.release()
         total_frames = meta.total_frames or len(present)
         if len(present) < total_frames:  # decoder returned fewer frames
@@ -450,7 +482,6 @@ class Pipeline:
         t0 = time.perf_counter()
         if stat_probs_p is None:
             stat_probs_p, feats_p = self.visual.run_static(crops)
-        step = registry.dynamic_step(meta.fps)
         plan = build_temporal_plan(present[:total_frames], step)
         dyn_logits_s = self.visual.run_dynamic(feats_p, plan)
         stat_probs, dyn_logits = self.visual.expand_to_frames(
@@ -458,9 +489,16 @@ class Pipeline:
         )
         timings["visual"] = time.perf_counter() - t0
 
-        if self.cfg.heatmaps and path_save and plan.step_frames.size:
+        if want_heatmaps and plan.step_frames.size:
+            if crops is not None:
+                heat_crops, subset = crops, False
+            else:
+                # device-path fetch covers the full decode; the plan may be
+                # truncated to the metadata frame count — prefix-aligned
+                heat_crops, subset = step_crops[: plan.step_frames.size], True
             self._save_heatmaps(
-                crops, stat_probs_p, dyn_logits_s, plan, name_video, path_save
+                heat_crops, stat_probs_p, dyn_logits_s, plan, name_video,
+                path_save, crops_are_step_subset=subset,
             )
 
         t0 = time.perf_counter()
@@ -528,6 +566,7 @@ class Pipeline:
     def _save_heatmaps(
         self, crops: np.ndarray, stat_probs_p: np.ndarray,
         dyn_logits_s: np.ndarray, plan, name_video: str, path_save: str,
+        crops_are_step_subset: bool = False,
     ) -> None:
         """Grad-CAM overlays for step frames (get_prob_video.py:131-152:
         heatmaps are generated on the dynamic cadence; the CAM class is the
@@ -550,7 +589,9 @@ class Pipeline:
         bs = 32
         for s in range(0, len(step_crop_idx), bs):
             idx = step_crop_idx[s : s + bs]
-            batch = crops[idx]
+            # crops either span every present frame (host path, index by
+            # present-array position) or only the step cadence (device path)
+            batch = crops[s : s + len(idx)] if crops_are_step_subset else crops[idx]
             masks = self.visual.gradcam(batch, classes[s : s + len(idx)])
             for j, ci in enumerate(idx):
                 frame_no = present_frames[ci]

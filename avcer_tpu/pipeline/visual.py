@@ -190,6 +190,30 @@ class VisualStage:
     def _lstm_impl(self, variables: dict, windows: jax.Array):
         return self.lstm_model.apply(variables, windows).astype(jnp.float32)
 
+    def fetch_crops(
+        self, frames_dev: jax.Array, idx: np.ndarray, boxes: np.ndarray
+    ) -> np.ndarray:
+        """Fetch uint8 224x224 crops from the device frame buffer (used by
+        the heatmap path to materialize ONLY the step-frame crops instead of
+        forcing the whole clip through the host-crop path). Inputs are
+        padded to a bucket size so one program serves all chunks."""
+        from avcer_tpu.ops.image import crop_and_resize_onehot
+
+        if not hasattr(self, "_jit_fetch_crops"):
+            self._jit_fetch_crops = jax.jit(
+                lambda f, i, b: crop_and_resize_onehot(f, i, b, 224)
+            )
+        n = idx.shape[0]
+        cap = max(32, -(-n // 32) * 32)
+        idx_p = np.zeros(cap, np.int32)
+        idx_p[:n] = idx
+        boxes_p = np.tile(np.array([[0, 0, 2, 2]], np.int32), (cap, 1))
+        boxes_p[:n] = boxes
+        out = self._jit_fetch_crops(
+            frames_dev, jnp.asarray(idx_p), jnp.asarray(boxes_p)
+        )
+        return np.asarray(out[:n])
+
     def gradcam(
         self, crops: np.ndarray, class_idx: np.ndarray
     ) -> np.ndarray:

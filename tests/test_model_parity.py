@@ -142,6 +142,37 @@ def test_s2d_stem_exactness(rng):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
 
 
+def test_wav2vec2_int8_quant_close_to_exact(rng):
+    """AudioConfig.quant='int8': quantized encoder projections stay within
+    tolerance of the exact path (same checkpoint tree), dynamic and
+    calibrated-static modes."""
+    import dataclasses
+
+    from avcer_tpu.models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Encoder
+
+    c = Wav2Vec2Config(
+        hidden_size=64, num_layers=2, num_heads=4, intermediate_size=128,
+        conv_dim=(16,) * 7,
+    )
+    wav = jnp.asarray(rng.normal(size=(2, 8000)).astype(np.float32))
+    base = Wav2Vec2Encoder(c, dtype=jnp.float32)
+    variables = base.init(jax.random.PRNGKey(4), wav)
+    want = jax.jit(base.apply)(variables, wav)
+    q = Wav2Vec2Encoder(dataclasses.replace(c, quant=True), dtype=jnp.float32)
+    qv = q.init(jax.random.PRNGKey(4), wav)
+    assert jax.tree.structure(qv["params"]) == jax.tree.structure(
+        variables["params"]
+    )
+    got_dyn = jax.jit(q.apply)(variables, wav)  # dynamic fallback
+    _, upd = q.apply(variables, wav, mutable=["act_scales"])
+    got_cal = jax.jit(q.apply)(
+        {**variables, "act_scales": upd["act_scales"]}, wav
+    )
+    rms = float(jnp.std(want)) + 1e-6
+    for got in (got_dyn, got_cal):
+        assert float(jnp.mean(jnp.abs(got - want))) / rms < 0.15
+
+
 def test_emotion_resnet_int8_quant_close_to_exact(rng):
     """VisualConfig.quant='int8': softmax probs of the quantized CNN stay
     within quantization tolerance of the exact path (same checkpoint tree),

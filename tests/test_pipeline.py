@@ -177,7 +177,7 @@ class StubDetect:
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("path_mode", ["device", "host"])
+@pytest.mark.parametrize("path_mode", ["device", "host", "device_heatmaps"])
 def test_end_to_end_synthetic_clip(tmp_path, rng, path_mode):
     import cv2
 
@@ -207,7 +207,7 @@ def test_end_to_end_synthetic_clip(tmp_path, rng, path_mode):
         weights_dir=str(tmp_path / "nonexistent_weights"),
         save_plot=False,
         save_face_crops=(path_mode == "host"),
-        heatmaps="static" if path_mode == "host" else "",
+        heatmaps="static" if path_mode in ("host", "device_heatmaps") else "",
     )
     tiny_w2v2 = Wav2Vec2Config(
         hidden_size=64, num_layers=2, num_heads=4, intermediate_size=128,
@@ -234,8 +234,18 @@ def test_end_to_end_synthetic_clip(tmp_path, rng, path_mode):
         # crop dump parity: <save>/<video>/<tid-1:02d>/<frame:06d>.jpg
         crop_dir = tmp_path / "out" / "clip" / "00"
         assert crop_dir.is_dir() and len(list(crop_dir.glob("*.jpg"))) == n_frames
+    if path_mode in ("host", "device_heatmaps"):
+        # heatmaps no longer force the host-crop path: the device path
+        # fetches just the step-frame crops (runner.detect_track_device
+        # crop_step) and writes the same overlay files
         hm_dir = tmp_path / "out" / "clip" / "heatmaps_static"
-        assert hm_dir.is_dir() and len(list(hm_dir.glob("*.jpg"))) > 0
+        hm_files = sorted(p.name for p in hm_dir.glob("*.jpg"))
+        assert hm_dir.is_dir() and len(hm_files) > 0
+        # step cadence: frame numbers divisible by the dynamic step
+        from avcer_tpu.core.registry import dynamic_step
+
+        step = dynamic_step(fps)
+        assert all(int(f.split(".")[0]) % step == 0 for f in hm_files)
 
 
 @pytest.mark.slow
@@ -377,7 +387,7 @@ def test_detect_stride_box_interpolation(tmp_path, rng, stride, monkeypatch):
             return np.zeros((p, 7), np.float32), np.zeros((p, 512), np.float32)
 
     pipe.visual = FakeVisual()
-    present, stat, feats = Pipeline.detect_track_device(pipe, FakeReader())
+    present, stat, feats, _ = Pipeline.detect_track_device(pipe, FakeReader())
 
     assert present.all() and len(present) == n_frames
     idx = np.concatenate(recorded["idx"])
