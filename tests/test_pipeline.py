@@ -176,8 +176,32 @@ class StubDetect:
         return DetectStage.unpack(packed_np, scale)
 
 
+def test_serving_profile_presets():
+    """--serving_profile maps to the measured configs (BENCH_NOTES round-4)
+    and explicit flags still override the preset."""
+    from avcer_tpu.core.config import pipeline_config_from_args
+
+    cfg, *_ = pipeline_config_from_args(["--serving_profile", "parity"])
+    assert (cfg.detector.backbone, cfg.detector.quant) == ("resnet50", "none")
+    cfg, *_ = pipeline_config_from_args(["--serving_profile", "int8"])
+    assert cfg.detector.quant == cfg.visual.quant == cfg.audio.quant == "int8"
+    assert cfg.detector.long_side == 640 and cfg.detector.stride == 1
+    cfg, *_ = pipeline_config_from_args(["--serving_profile", "fast"])
+    assert cfg.detector.backbone == "mobilenet0.25"
+    assert cfg.detector.long_side == 640
+    cfg, *_ = pipeline_config_from_args(["--serving_profile", "turbo"])
+    assert (cfg.detector.long_side, cfg.detector.stride) == (448, 2)
+    cfg, *_ = pipeline_config_from_args(
+        ["--serving_profile", "turbo", "--long_side", "512",
+         "--detect_stride", "4"]
+    )
+    assert (cfg.detector.long_side, cfg.detector.stride) == (512, 4)
+
+
 @pytest.mark.slow
-@pytest.mark.parametrize("path_mode", ["device", "host", "device_heatmaps"])
+@pytest.mark.parametrize(
+    "path_mode", ["device", "host", "device_heatmaps", "device_int8"]
+)
 def test_end_to_end_synthetic_clip(tmp_path, rng, path_mode):
     import cv2
 
@@ -200,10 +224,11 @@ def test_end_to_end_synthetic_clip(tmp_path, rng, path_mode):
     wav = (rng.normal(size=int(1.5 * 16000)) * 0.1).astype(np.float32)
     media.write_wav(str(tmp_path / "clip.wav"), wav, 16000)
 
+    q = "int8" if path_mode == "device_int8" else "none"
     cfg = PipelineConfig(
-        detector=DetectorConfig(batch_size=8, long_side=64),
-        visual=VisualConfig(batch_size=16),
-        audio=AudioConfig(batch_size=4),
+        detector=DetectorConfig(batch_size=8, long_side=64, quant=q),
+        visual=VisualConfig(batch_size=16, quant=q),
+        audio=AudioConfig(batch_size=4, quant=q),
         weights_dir=str(tmp_path / "nonexistent_weights"),
         save_plot=False,
         save_face_crops=(path_mode == "host"),
