@@ -108,6 +108,11 @@ class AudioConfig:
     #: "int8" = quantized wav2vec2 encoder projections (Wav2Vec2Config.quant;
     #: same checkpoint tree, calibrated activation scales).
     quant: str = "none"
+    #: Run the conv feature extractor once per clip instead of once per
+    #: window (the 4 s / 0.5 s windows overlap 8x). Opt-in APPROXIMATION:
+    #: normalization happens once per wav instead of per window
+    #: (audio_stage._shared_features_impl); drift-gated in tests.
+    shared_extractor: bool = False
 
 
 @dataclass(frozen=True)
@@ -260,6 +265,9 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
         audio=AudioConfig(
             num_classes=a.audio_classes, head=head,
             padding=a.audio_padding, step_sec=a.audio_step, quant=quant,
+            # turbo additionally shares the conv feature extractor across
+            # the 8x-overlapped windows (documented approximation)
+            shared_extractor=a.serving_profile == "turbo",
         ),
         fusion=FusionConfig(
             use_published_weights=not a.no_published_weights,

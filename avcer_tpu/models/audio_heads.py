@@ -125,10 +125,13 @@ class ExprModel(nn.Module):
         wav: jax.Array,  # [B, samples], already feature-extractor normalized
         deterministic: bool = True,
         return_features: bool = False,
+        w2v_mode: str = "full",  # see Wav2Vec2Encoder.__call__ modes
     ) -> jax.Array | tuple[jax.Array, jax.Array]:
         h = Wav2Vec2Encoder(self.wav2vec2_config, dtype=self.dtype, name="wav2vec2")(
-            wav, deterministic=deterministic
+            wav, deterministic=deterministic, mode=w2v_mode
         )
+        if w2v_mode == "features_only":
+            return h
         hidden = self.wav2vec2_config.hidden_size  # 1024 for the reference models
         if self.variant == "v1":
             h = GRUTorch(256, num_layers=2, dtype=self.dtype, name="gru")(h)

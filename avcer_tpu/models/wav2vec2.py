@@ -175,15 +175,32 @@ class EncoderLayerStableLN(nn.Module):
 
 
 class Wav2Vec2Encoder(nn.Module):
-    """Full model: raw waveform [B, T] -> hidden states [B, F, 1024]."""
+    """Full model: raw waveform [B, T] -> hidden states [B, F, 1024].
+
+    ``mode`` (static) supports the shared-extractor serving path
+    (pipeline/audio_stage.py AudioConfig.shared_extractor):
+    - "full": wav [B, T] -> hidden states (the exact per-window path);
+    - "features_only": wav -> conv features [B, F, conv_dim] (run once per
+      clip over the whole normalized waveform);
+    - "from_features": the input IS a conv-feature batch [B, F, conv_dim];
+      skip the extractor and run projection + transformer.
+    Parameter tree is identical in all modes (init uses "full").
+    """
 
     config: Wav2Vec2Config = field(default_factory=Wav2Vec2Config)
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, wav: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(
+        self, wav: jax.Array, deterministic: bool = True, mode: str = "full"
+    ) -> jax.Array:
         c = self.config
-        feats = FeatureEncoder(c, dtype=self.dtype, name="feature_extractor")(wav)
+        if mode == "from_features":
+            feats = wav
+        else:
+            feats = FeatureEncoder(c, dtype=self.dtype, name="feature_extractor")(wav)
+            if mode == "features_only":
+                return feats
         h = FeatureProjection(c, dtype=self.dtype, name="feature_projection")(
             feats, deterministic
         )

@@ -89,6 +89,8 @@ class AudioStage:
         self._jit_forward_from_wav = jax.jit(
             self._forward_from_wav_impl, static_argnames=("padding",)
         )
+        self._jit_shared_features = jax.jit(self._shared_features_impl)
+        self._jit_from_features = jax.jit(self._from_features_impl)
         if cfg.quant == "int8":
             # static activation scales (see pipeline/detect.py) — seeded on
             # noise windows; call calibrate() with real windows for serving
@@ -162,6 +164,47 @@ class AudioStage:
         x = audio_ops.feature_extractor_normalize(out)
         return self.model.apply(variables, x).astype(jnp.float32)
 
+    # -- shared-extractor serving mode (AudioConfig.shared_extractor) -------
+    def _shared_features_impl(
+        self, variables: dict, wav: jax.Array, wav_len: jax.Array
+    ) -> jax.Array:
+        """Run the conv feature extractor ONCE over the whole (globally
+        normalized) waveform. The 4 s / 0.5 s windows overlap 8x, and the
+        extractor stack is VALID-padded, so stream features at frame
+        25w + j equal window w's local frame j up to the normalization
+        difference: the exact path normalizes each window by ITS OWN
+        mean/std (HF processor, get_prob_audio_8_cl.py:88-90), here the
+        whole wav is normalized once. Audio is near zero-mean, so the
+        residual drift comes from per-window loudness variation — bounded
+        by a drift test and documented as an opt-in approximation. Samples
+        past wav_len contribute zeros (constant-pad semantics for tail
+        windows)."""
+        mask = (jnp.arange(wav.shape[0]) < wav_len).astype(wav.dtype)
+        n = jnp.maximum(wav_len, 1).astype(jnp.float32)
+        mean = jnp.sum(wav * mask) / n
+        var = jnp.sum(((wav - mean) ** 2) * mask) / n
+        xn = ((wav - mean) / jnp.sqrt(var + 1e-7)) * mask
+        return self.model.apply(variables, xn[None], w2v_mode="features_only")[0]
+
+    def _from_features_impl(
+        self, variables: dict, feats: jax.Array, starts: jax.Array
+    ) -> jax.Array:
+        """Gather per-window feature slices from the stream and run the
+        transformer + head. Window starts must be multiples of the conv
+        stride product (8000 % 320 == 0 for the reference geometry)."""
+        import numpy as _np
+
+        c = self.model.wav2vec2_config
+        window = int(self.cfg.window_sec * self.cfg.sample_rate)
+        fpw = c.num_output_frames(window)
+        stride_total = int(_np.prod(c.conv_stride))
+        f_idx = starts[:, None] // stride_total + jnp.arange(fpw)[None, :]
+        f_idx = jnp.clip(f_idx, 0, feats.shape[0] - 1)
+        win = feats[f_idx]  # [B, fpw, conv_dim]
+        return self.model.apply(
+            variables, win, w2v_mode="from_features"
+        ).astype(jnp.float32)
+
     def run_from_wav(self, wav: np.ndarray, fps: float) -> tuple[np.ndarray, AudioWindows]:
         """Device-side windowing path: one wav upload, one logits fetch.
         Returns (logits [W, C], AudioWindows metadata for frame mapping)."""
@@ -187,15 +230,27 @@ class AudioStage:
         starts_all = np.asarray([s for s, _ in spans], np.int32)
         bs = self.cfg.batch_size
         handles = []
+        feats = None
+        if self.cfg.shared_extractor:
+            # conv extractor once per clip instead of once per window
+            # (approximation — see _shared_features_impl docstring)
+            feats = self._jit_shared_features(
+                self.variables, wav_dev, jnp.asarray(wav_len, jnp.int32)
+            )
         for i in range(0, len(starts_all), bs):
             chunk = starts_all[i : i + bs]
             n = len(chunk)
             if n < bs:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], bs - n)])
-            out = self._jit_forward_from_wav(
-                self.variables, wav_dev, jnp.asarray(wav_len, jnp.int32),
-                jnp.asarray(chunk), padding=self.cfg.padding,
-            )
+            if feats is not None:
+                out = self._jit_from_features(
+                    self.variables, feats, jnp.asarray(chunk)
+                )
+            else:
+                out = self._jit_forward_from_wav(
+                    self.variables, wav_dev, jnp.asarray(wav_len, jnp.int32),
+                    jnp.asarray(chunk), padding=self.cfg.padding,
+                )
             handles.append((out, n))
         if not handles:
             return np.zeros((0, self.cfg.num_classes), np.float32), meta

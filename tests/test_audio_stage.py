@@ -52,6 +52,58 @@ def test_device_window_extraction_matches_host(stage, padding, rng):
     np.testing.assert_allclose(got, host_windows.batch, atol=1e-6)
 
 
+def test_shared_extractor_stream_slices_match_window_features(stage, rng):
+    """Core identity behind AudioConfig.shared_extractor: the VALID-padded
+    conv stack is shift-invariant, so stream features at frame
+    start//prod(stride) + j equal window-local frame j EXACTLY when the
+    same normalization is applied (the serving mode's only approximation is
+    normalizing once per wav instead of per window)."""
+    import jax
+
+    wav = (rng.normal(size=int(6.5 * 16000)) * 0.1).astype(np.float32)
+    xn = (wav - wav.mean()) / np.sqrt(wav.var() + 1e-7)
+    window = 64000
+    stream = np.asarray(
+        stage.model.apply(
+            stage.variables, jnp.asarray(xn[None]), w2v_mode="features_only"
+        )[0]
+    )
+    stride_total = int(np.prod(TINY.conv_stride))
+    fpw = TINY.num_output_frames(window)
+    for s in (0, 8000, 24000, 40000):  # multiples of stride_total
+        per_window = np.asarray(
+            stage.model.apply(
+                stage.variables, jnp.asarray(xn[s : s + window][None]),
+                w2v_mode="features_only",
+            )[0]
+        )
+        assert per_window.shape[0] == fpw
+        np.testing.assert_allclose(
+            stream[s // stride_total : s // stride_total + fpw],
+            per_window, atol=1e-4, rtol=1e-4,
+        )
+
+
+def test_shared_extractor_run_from_wav(stage, rng):
+    """The shared-extractor serving path produces finite, deterministic,
+    correctly-shaped logits with the exact path's window metadata."""
+    import dataclasses
+
+    wav = (rng.normal(size=int(2.3 * 16000)) * 0.1).astype(np.float32)
+    shared = AudioStage(
+        stage.variables,
+        dataclasses.replace(stage.cfg, shared_extractor=True),
+        TINY, dtype=jnp.float32,
+    )
+    got, meta = shared.run_from_wav(wav, fps=25.0)
+    host_windows = make_windows(wav, stage.cfg, fps=25.0)
+    assert got.shape == (len(host_windows.spans), 8)
+    assert np.isfinite(got).all()
+    got2, _ = shared.run_from_wav(wav, fps=25.0)
+    np.testing.assert_array_equal(got, got2)
+    np.testing.assert_array_equal(meta.frame_ids, host_windows.frame_ids)
+
+
 @pytest.mark.slow
 def test_run_from_wav_end_to_end(stage, rng):
     """Shapes/metadata of the device path; logits must be finite and

@@ -191,6 +191,7 @@ def test_serving_profile_presets():
     assert cfg.detector.long_side == 640
     cfg, *_ = pipeline_config_from_args(["--serving_profile", "turbo"])
     assert (cfg.detector.long_side, cfg.detector.stride) == (448, 2)
+    assert cfg.audio.shared_extractor
     cfg, *_ = pipeline_config_from_args(
         ["--serving_profile", "turbo", "--long_side", "512",
          "--detect_stride", "4"]
