@@ -230,7 +230,7 @@ def main() -> None:
                 lambda: pipe.visual._jit_static_from_frames(
                     pipe.visual.static_variables, frames_dev, idx_b, boxes_b
                 ),
-                n1=2, n2=8,
+                n1=5, n2=25,
             )
             sweep[bs] = round(sec / bs * 1e3, 3)
         per_frame_cnn = sweep[256] / 1e3
@@ -250,7 +250,7 @@ def main() -> None:
             lambda: vq._jit_static_from_frames(
                 vq.static_variables, frames_dev, idx_b, boxes_b
             ),
-            n1=2, n2=8,
+            n1=5, n2=25,
         )
         per_frame_cnn_int8 = sec / 256
         # audio: one 4 s window per 0.5 s of video -> 2 windows per video-sec
@@ -261,7 +261,7 @@ def main() -> None:
             lambda: pipe.audio._jit_forward_from_wav(
                 pipe.audio.variables, wav_dev, wl, starts, padding="mean"
             ),
-            n1=2, n2=8,
+            n1=4, n2=20,
         )
         per_window_audio = sec / 16
         fps = 25.0
