@@ -136,6 +136,50 @@ def main() -> None:
             }
         )
     )
+    # turbo-profile e2e diagnostic (stderr): same clip through the measured
+    # fastest serving preset — mnet@448 int8 stride-2, int8 CNN, int8 +
+    # shared-extractor audio. Shows how e2e scales when wire bytes (2x
+    # smaller letterbox) and device time drop; the stdout metric above
+    # stays the parity profile. Disable with BENCH_TURBO_E2E=0.
+    if os.environ.get("BENCH_TURBO_E2E", "1") == "1":
+        try:
+            from avcer_tpu.core.config import (
+                AudioConfig, PipelineConfig as _PC, VisualConfig,
+            )
+
+            cfg_t = _PC(
+                detector=DetectorConfig(
+                    long_side=448, batch_size=32, stride=2,
+                    backbone="mobilenet0.25", quant="int8",
+                ),
+                visual=VisualConfig(quant="int8"),
+                audio=AudioConfig(quant="int8", shared_extractor=True),
+                weights_dir=os.path.join(workdir, "no_weights"),
+                save_probs=False,
+                save_plot=False,
+            )
+            pipe_t = build_pipeline(cfg_t)
+            pipe_t.detect = ForceTopFace(pipe_t.detect, 360, 640)
+            pipe_t.run(video, "")  # warmup/compile
+            t0 = time.perf_counter()
+            clip_t = pipe_t.run(video, "")
+            wall_t = time.perf_counter() - t0
+            print(
+                json.dumps(
+                    {
+                        "end_to_end_turbo": round(
+                            clip_t.total_frames / max(clip_t.fps, 1) / wall_t, 3
+                        ),
+                        "turbo_stage_seconds": {
+                            k: round(v, 3) for k, v in clip_t.timings.items()
+                        },
+                    }
+                ),
+                file=sys.stderr,
+            )
+        except Exception as e:  # diagnostic only
+            print(json.dumps({"turbo_e2e_error": str(e)[:300]}), file=sys.stderr)
+
     print(
         json.dumps({"detail_stage_seconds": {k: round(v, 3) for k, v in clip.timings.items()},
                     "video_seconds": video_sec}),
