@@ -210,8 +210,9 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
     p = argparse.ArgumentParser(description="avcer-tpu run")
     p.add_argument("--path_video", type=str, default="video/")
     p.add_argument("--path_save", type=str, default="report/")
-    p.add_argument("--long_side", type=int, default=640,
-                   help="detector bucket; 0 = native resolution (parity mode)")
+    p.add_argument("--long_side", type=int, default=None,
+                   help="detector bucket (default 640; turbo preset: 448); "
+                        "0 = native resolution (parity mode)")
     p.add_argument("--no_published_weights", action="store_true")
     p.add_argument("--ce_weights_type", action="store_true")
     p.add_argument("--no_ce_mask", action="store_true")
@@ -231,10 +232,10 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
     p.add_argument("--calibrate", action="store_true",
                    help="one-shot on-device batch-size calibration (cached "
                         "per device kind; pipeline/calibrate.py)")
-    p.add_argument("--detect_stride", type=int, default=1,
-                   help="detect every Nth frame (opt-in speed mode; boxes "
-                        "interpolated between detections, CNN still runs "
-                        "every frame)")
+    p.add_argument("--detect_stride", type=int, default=None,
+                   help="detect every Nth frame (default 1; turbo preset: "
+                        "2); boxes interpolated between detections, CNN "
+                        "still runs every frame")
     p.add_argument("--serving_profile",
                    choices=["parity", "int8", "fast", "turbo"], default="parity",
                    help="measured speed/quality presets (BENCH_NOTES.md "
@@ -249,13 +250,11 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
     backbone = (
         "mobilenet0.25" if a.serving_profile in ("fast", "turbo") else "resnet50"
     )
-    long_side = a.long_side
-    stride = a.detect_stride
-    if a.serving_profile == "turbo":
-        if long_side == 640:  # not explicitly overridden
-            long_side = 448
-        if stride == 1:
-            stride = 2
+    # None = flag not given -> preset decides (an EXPLICIT --long_side 640
+    # with the turbo preset must stay 640, so the default is a sentinel)
+    turbo = a.serving_profile == "turbo"
+    long_side = a.long_side if a.long_side is not None else (448 if turbo else 640)
+    stride = a.detect_stride if a.detect_stride is not None else (2 if turbo else 1)
     cfg = PipelineConfig(
         detector=DetectorConfig(
             long_side=long_side, stride=stride, backbone=backbone, quant=quant,

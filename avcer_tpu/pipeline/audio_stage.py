@@ -91,9 +91,11 @@ class AudioStage:
         )
         self._jit_shared_features = jax.jit(self._shared_features_impl)
         self._jit_from_features = jax.jit(self._from_features_impl)
+        self._real_calibrated = cfg.quant != "int8"
         if cfg.quant == "int8":
             # static activation scales (see pipeline/detect.py) — seeded on
-            # noise windows; call calibrate() with real windows for serving
+            # noise windows, refined with the first real clip's windows in
+            # run_from_wav (running max)
             import numpy as _np
 
             window = int(cfg.window_sec * cfg.sample_rate)
@@ -176,9 +178,10 @@ class AudioStage:
         mean/std (HF processor, get_prob_audio_8_cl.py:88-90), here the
         whole wav is normalized once. Audio is near zero-mean, so the
         residual drift comes from per-window loudness variation — bounded
-        by a drift test and documented as an opt-in approximation. Samples
-        past wav_len contribute zeros (constant-pad semantics for tail
-        windows)."""
+        by a drift test and documented as an opt-in approximation. Tail
+        windows (shorter than 4 s) never use the shared stream: run_from_wav
+        routes them through the exact per-window path so cfg.padding
+        semantics hold."""
         mask = (jnp.arange(wav.shape[0]) < wav_len).astype(wav.dtype)
         n = jnp.maximum(wav_len, 1).astype(jnp.float32)
         mean = jnp.sum(wav * mask) / n
@@ -228,33 +231,66 @@ class AudioStage:
             np.pad(np.asarray(wav, np.float32), (0, window + 1))
         )
         starts_all = np.asarray([s for s, _ in spans], np.int32)
+        if not self._real_calibrated and len(spans):
+            # refine noise-seeded int8 scales with real windows (host
+            # windowing; shape (2, window) matches the constructor's
+            # calibration program so no extra compile)
+            window = int(self.cfg.window_sec * self.cfg.sample_rate)
+            step = int(self.cfg.step_sec * self.cfg.sample_rate)
+            wins = audio_ops.extract_windows(
+                np.asarray(wav, np.float32), window, step, self.cfg.padding
+            )
+            self.calibrate(np.resize(wins, (2, window)))
+            self._real_calibrated = True
         bs = self.cfg.batch_size
-        handles = []
-        feats = None
+
+        def run_chunks(starts: np.ndarray, feats) -> list[np.ndarray]:
+            outs = []
+            handles = []
+            for i in range(0, len(starts), bs):
+                chunk = starts[i : i + bs]
+                n = len(chunk)
+                if n < bs:
+                    chunk = np.concatenate([chunk, np.repeat(chunk[-1:], bs - n)])
+                if feats is not None:
+                    out = self._jit_from_features(
+                        self.variables, feats, jnp.asarray(chunk)
+                    )
+                else:
+                    out = self._jit_forward_from_wav(
+                        self.variables, wav_dev, jnp.asarray(wav_len, jnp.int32),
+                        jnp.asarray(chunk), padding=self.cfg.padding,
+                    )
+                handles.append((out, n))
+            for h, n in handles:
+                outs.append(np.asarray(h[:n]))
+            return outs
+
+        if not len(starts_all):
+            return np.zeros((0, self.cfg.num_classes), np.float32), meta
         if self.cfg.shared_extractor:
-            # conv extractor once per clip instead of once per window
-            # (approximation — see _shared_features_impl docstring)
+            # conv extractor once per clip for the FULL windows; windows
+            # shorter than 4 s (the clip tail) keep the exact per-window
+            # path so cfg.padding semantics (mean/repeat fills) hold — the
+            # shared stream can only express constant-zero tails. The only
+            # remaining approximation is per-clip normalization of the full
+            # windows (see _shared_features_impl).
+            window = int(self.cfg.window_sec * self.cfg.sample_rate)
+            is_full = np.asarray([e - s >= window for s, e in spans])
             feats = self._jit_shared_features(
                 self.variables, wav_dev, jnp.asarray(wav_len, jnp.int32)
             )
-        for i in range(0, len(starts_all), bs):
-            chunk = starts_all[i : i + bs]
-            n = len(chunk)
-            if n < bs:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], bs - n)])
-            if feats is not None:
-                out = self._jit_from_features(
-                    self.variables, feats, jnp.asarray(chunk)
+            logits = np.empty((len(starts_all), self.cfg.num_classes), np.float32)
+            if is_full.any():
+                logits[is_full] = np.concatenate(
+                    run_chunks(starts_all[is_full], feats)
                 )
-            else:
-                out = self._jit_forward_from_wav(
-                    self.variables, wav_dev, jnp.asarray(wav_len, jnp.int32),
-                    jnp.asarray(chunk), padding=self.cfg.padding,
+            if (~is_full).any():
+                logits[~is_full] = np.concatenate(
+                    run_chunks(starts_all[~is_full], None)
                 )
-            handles.append((out, n))
-        if not handles:
-            return np.zeros((0, self.cfg.num_classes), np.float32), meta
-        logits = np.asarray(jnp.concatenate([h[:n] for h, n in handles], axis=0))
+            return logits, meta
+        logits = np.concatenate(run_chunks(starts_all, None))
         return logits, meta
 
     def run(self, windows: AudioWindows) -> np.ndarray:

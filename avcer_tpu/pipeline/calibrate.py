@@ -63,6 +63,12 @@ def _cache_key(pipe) -> str:
             pipe.cfg.detector.backbone,
             pipe.cfg.audio.head,
             str(pipe.cfg.visual.dtype),
+            # quantized programs have different batch-size optima than the
+            # exact ones — a bf16-calibrated record must not serve int8
+            pipe.cfg.detector.quant,
+            pipe.cfg.visual.quant,
+            pipe.cfg.audio.quant,
+            str(pipe.cfg.audio.shared_extractor),
         ]
     )
 

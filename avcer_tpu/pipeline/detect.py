@@ -72,6 +72,8 @@ class DetectStage:
             variables = jax.device_put(variables)
         self.variables = variables
         self._jit_forward = jax.jit(self._forward_impl)
+        self._real_calibrated = False
+        self._jit_calib_wire = None
         if cfg.quant == "int8":
             # static activation scales: without them every conv pays a
             # full-tensor max reduction per call, which costs more than int8
@@ -203,6 +205,31 @@ class DetectStage:
 
     def dispatch_wire(self, wire: np.ndarray, scale: float) -> tuple[jax.Array, float, jax.Array]:
         """Device half of dispatch for pre-prepared wire data."""
+        if self.cfg.quant == "int8" and not self._real_calibrated:
+            # refine the noise-seeded activation scales with the FIRST real
+            # batch (running max: real activations seen here can never be
+            # clipped later). One extra forward + compile, once per process.
+            if self._jit_calib_wire is None:
+                def _calib(variables, w):
+                    from avcer_tpu.ops.image import i420_to_bgr_device
+
+                    if w.ndim == 3:
+                        frames = i420_to_bgr_device(
+                            w, w.shape[1] * 2 // 3, w.shape[2]
+                        )
+                    else:
+                        frames = w
+                    x = retinaface_normalize(frames[:2])
+                    _, upd = self.model.apply(
+                        variables, x, mutable=["act_scales"]
+                    )
+                    return upd["act_scales"]
+
+                self._jit_calib_wire = jax.jit(_calib)
+            scales = self._jit_calib_wire(self.variables, jnp.asarray(wire))
+            self.variables = {**self.variables,
+                              "act_scales": jax.device_put(scales)}
+            self._real_calibrated = True
         packed, frames_dev = self._jit_forward(self.variables, self._shard_input(wire))
         return packed, scale, frames_dev
 

@@ -31,8 +31,23 @@ class S3FDStage(DetectStage):
 
     def __init__(self, cfg: DetectorConfig, variables: dict[str, Any],
                  dtype=jnp.bfloat16, mesh=None):
+        if cfg.stride > 1:
+            # the S3FD forward has no stride slicing: it would emit one
+            # detection row per FRAME while the runner's pass-1 accounting
+            # expects batch_size/stride rows — boxes would silently shift
+            raise ValueError(
+                "detector stride > 1 is not supported by S3FDStage; use the"
+                " RetinaFace stage for stride serving"
+            )
+        if cfg.quant != "none":
+            raise ValueError(
+                "quantized serving is not implemented for S3FDStage; use"
+                " the RetinaFace stage for int8 serving"
+            )
         self.cfg = cfg
         self.model = S3FDNet(dtype=dtype)
+        self._real_calibrated = True  # no quant path (see gate above)
+        self._jit_calib_wire = None
         self.mesh = mesh
         if mesh is not None:
             from avcer_tpu.parallel import mesh as mesh_lib

@@ -421,11 +421,16 @@ class Pipeline:
         Data-independent of detection, so ``run`` executes it on a worker
         thread concurrently with the detect/visual stages (the reference runs
         the three stages strictly serially — run.py:221-308)."""
+        import subprocess
+
         t0 = time.perf_counter()
         if wav is None:
             try:
                 wav = media.extract_audio(path_video, self.cfg.audio.sample_rate)
-            except (RuntimeError, FileNotFoundError) as e:
+            except (RuntimeError, FileNotFoundError,
+                    subprocess.CalledProcessError) as e:
+                # CalledProcessError: ffmpeg exits non-zero for videos with
+                # no audio stream — same silent-track fallback applies
                 log.warning("audio unavailable for %s: %s", path_video, e)
                 if duration_frames <= 0:
                     # no frame-count metadata either: let run() redo the
@@ -455,6 +460,10 @@ class Pipeline:
         audio_future = executor.submit(
             self._audio_task, path_video, wav, meta.fps, meta.total_frames
         )
+        # non-blocking shutdown right after submit: the queued task still
+        # runs and the worker exits once it finishes, so an exception in the
+        # detect/visual stages can't leak a live non-daemon thread
+        executor.shutdown(wait=False)
 
         t0 = time.perf_counter()
         step = registry.dynamic_step(meta.fps)
@@ -503,7 +512,6 @@ class Pipeline:
 
         t0 = time.perf_counter()
         audio_logits, audio_windows, audio_thread_sec = audio_future.result()
-        executor.shutdown(wait=False)
         if audio_logits is None:  # silent-track fallback needed frame count
             silent = np.zeros(
                 int(total_frames / max(meta.fps, 1) * self.cfg.audio.sample_rate),

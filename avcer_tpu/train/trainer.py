@@ -208,23 +208,27 @@ class Trainer:
     ) -> np.ndarray | tuple[np.ndarray, float]:
         """Eval forward. With labels, also returns the eval loss (the
         reference logs loss in both phases — net_trainer.py run_epoch)."""
+        x = jax.device_put(jnp.asarray(x), mesh_lib.batch_sharding(self.mesh))
+        if y is None:
+            # logits-only program: loss_fn's label format varies by config
+            # (int classes / soft targets / VA pairs), so no dummy labels
+            if getattr(self, "_jit_eval_logits", None) is None:
+                def g(params, batch_stats, x):
+                    logits, _ = self._loss_and_logits(
+                        params, batch_stats, None, x, None, False
+                    )
+                    return logits
+
+                self._jit_eval_logits = jax.jit(g)
+            return np.asarray(
+                self._jit_eval_logits(state.params, state.batch_stats, x)
+            )
         if self._jit_eval_step is None:
             def f(params, batch_stats, x, y):
                 logits, _ = self._loss_and_logits(params, batch_stats, None, x, None, False)
                 return logits, self.loss_fn(logits, y)
 
             self._jit_eval_step = jax.jit(f)
-        x = jax.device_put(jnp.asarray(x), mesh_lib.batch_sharding(self.mesh))
-        if y is None:
-            # loss against dummy labels is computed then discarded (cheap
-            # relative to the forward; keeps one compiled program)
-            y_arr = jnp.zeros(
-                (x.shape[0],) if self.cfg.problem != "regression" else
-                (x.shape[0], 2),
-                jnp.int64 if self.cfg.problem != "regression" else jnp.float32,
-            )
-            logits, _ = self._jit_eval_step(state.params, state.batch_stats, x, y_arr)
-            return np.asarray(logits)
         y_arr = jax.device_put(jnp.asarray(y), mesh_lib.batch_sharding(self.mesh))
         logits, loss = self._jit_eval_step(state.params, state.batch_stats, x, y_arr)
         return np.asarray(logits), float(loss)
@@ -316,6 +320,20 @@ class Trainer:
                 state, last_epoch = self.restore_checkpoint(state, "latest")
                 start_epoch = last_epoch + 1
                 say(f"resumed from epoch {last_epoch}")
+                aux_path = os.path.abspath(
+                    os.path.join(self.log_dir, "ckpt", "latest_aux.json")
+                )
+                if os.path.exists(aux_path):
+                    import json as _json
+
+                    with open(aux_path) as f:
+                        aux = _json.load(f)
+                    # best weights are already exported on disk; tracking the
+                    # metric/epoch stops a worse post-resume epoch from
+                    # overwriting them (state is re-captured on improvement)
+                    self.best = {"metric": aux["best_metric"],
+                                 "epoch": aux["best_epoch"], "state": None}
+                    self.history = list(aux["history"])
             except (FileNotFoundError, ValueError):
                 say("no checkpoint to resume from; starting fresh")
         family = best_family or f"best_{self.cfg.model}"
@@ -400,6 +418,20 @@ class Trainer:
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, payload, force=True)
         ckptr.wait_until_finished()
+        # sidecar: best-so-far + history, so fit(resume=True) doesn't let
+        # the first post-resume epoch overwrite a better earlier export and
+        # stats.csv keeps the pre-restart epochs
+        import json as _json
+
+        with open(path + "_aux.json", "w") as f:
+            _json.dump(
+                {
+                    "best_metric": float(self.best["metric"]),
+                    "best_epoch": int(self.best["epoch"]),
+                    "history": self.history,
+                },
+                f,
+            )
         return path
 
     def restore_checkpoint(self, state: TrainState, tag: str = "latest") -> tuple[TrainState, int]:

@@ -197,6 +197,12 @@ def test_serving_profile_presets():
          "--detect_stride", "4"]
     )
     assert (cfg.detector.long_side, cfg.detector.stride) == (512, 4)
+    # an EXPLICIT flag equal to the non-turbo default still overrides
+    cfg, *_ = pipeline_config_from_args(
+        ["--serving_profile", "turbo", "--long_side", "640",
+         "--detect_stride", "1"]
+    )
+    assert (cfg.detector.long_side, cfg.detector.stride) == (640, 1)
 
 
 @pytest.mark.slow
