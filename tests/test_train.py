@@ -311,7 +311,12 @@ def test_trainer_fit_owns_epoch_loop(tmp_path, rng):
     state2 = trainer2.fit(state2, Loader(), epochs=3, resume=True,
                           log_fn=msgs2.append)
     assert any("resumed from epoch 1" in m for m in msgs2)
-    assert [h["epoch"] for h in trainer2.history] == [2, 2]
+    # history (and thus stats.csv) keeps the pre-restart epochs — restored
+    # from the checkpoint's aux sidecar — plus the new one
+    assert [h["epoch"] for h in trainer2.history] == [0, 0, 1, 1, 2, 2]
+    # the restored best metric survives the resume (a worse post-resume
+    # epoch must not overwrite the exported best weights): it can only grow
+    assert trainer2.best["metric"] >= trainer.best["metric"]
 
 
 def test_augmentations_match_reference_semantics(rng):
