@@ -180,6 +180,36 @@ class QDense(nn.Module):
         return y
 
 
+class QConv1d(nn.Module):
+    """Drop-in int8 replacement for a 1-D ``nn.Conv`` (kernel shape
+    (k, in, out) — identical to nn.Conv's 1-D layout, so checkpoints load
+    unchanged). Runs as a height-1 2-D int8 conv on the MXU."""
+
+    features: int
+    kernel_size: int
+    strides: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # x: [B, T, C]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, x.shape[-1], self.features), jnp.float32,
+        )
+        y = int8_conv(
+            x[:, None, :, :], kernel[None],
+            strides=(1, self.strides), padding=((0, 0), (0, 0)),
+            out_dtype=self.dtype, act_amax=activation_amax(self, x),
+        )[:, 0]
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 def activation_amax(mod: nn.Module, x: jax.Array):
     """Per-tensor activation max-abs for int8 quantization, held in the
     "act_scales" variable collection.

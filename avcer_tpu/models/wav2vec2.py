@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from avcer_tpu.models.layers import (
-    Dtype, QDense, gelu_exact, scaled_dot_attention,
+    Dtype, QConv1d, QDense, gelu_exact, scaled_dot_attention,
 )
 
 
@@ -79,11 +79,20 @@ class FeatureEncoder(nn.Module):
         for i, (dim, k, s) in enumerate(
             zip(self.config.conv_dim, self.config.conv_kernel, self.config.conv_stride)
         ):
-            h = nn.Conv(
-                dim, kernel_size=(k,), strides=(s,), padding="VALID",
-                use_bias=self.config.conv_bias, dtype=self.dtype,
-                name=f"conv_layers_{i}_conv",
-            )(h)
+            if self.config.quant and i > 0:
+                # layers past the first (in_ch = conv_dim, MXU-bound) run
+                # int8; the 1-channel first layer stays exact
+                h = QConv1d(
+                    dim, kernel_size=k, strides=s,
+                    use_bias=self.config.conv_bias, dtype=self.dtype,
+                    name=f"conv_layers_{i}_conv",
+                )(h)
+            else:
+                h = nn.Conv(
+                    dim, kernel_size=(k,), strides=(s,), padding="VALID",
+                    use_bias=self.config.conv_bias, dtype=self.dtype,
+                    name=f"conv_layers_{i}_conv",
+                )(h)
             h = nn.LayerNorm(
                 epsilon=self.config.layer_norm_eps, dtype=jnp.float32,
                 name=f"conv_layers_{i}_layer_norm",
