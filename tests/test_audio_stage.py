@@ -84,15 +84,17 @@ def test_shared_extractor_stream_slices_match_window_features(stage, rng):
         )
 
 
-def test_shared_extractor_run_from_wav(stage, rng):
-    """The shared-extractor serving path produces finite, deterministic,
-    correctly-shaped logits with the exact path's window metadata."""
+@pytest.mark.parametrize("quant", ["none", "int8"])
+def test_shared_extractor_run_from_wav(stage, rng, quant):
+    """The shared-extractor serving path (exact and int8 — the turbo preset
+    combines both) produces finite, deterministic, correctly-shaped logits
+    with the exact path's window metadata."""
     import dataclasses
 
     wav = (rng.normal(size=int(2.3 * 16000)) * 0.1).astype(np.float32)
     shared = AudioStage(
         stage.variables,
-        dataclasses.replace(stage.cfg, shared_extractor=True),
+        dataclasses.replace(stage.cfg, shared_extractor=True, quant=quant),
         TINY, dtype=jnp.float32,
     )
     got, meta = shared.run_from_wav(wav, fps=25.0)
