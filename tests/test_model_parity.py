@@ -251,6 +251,38 @@ def test_retinaface_int8_quant_close_to_exact(rng):
         assert float(jnp.mean(jnp.abs(landms3 - landms))) / lm_rms < 0.35
 
 
+def test_detect_stage_refines_scales_on_first_real_batch(rng):
+    """DetectStage(quant='int8') seeds act_scales on noise at construction
+    and refines them (running max) from the FIRST dispatched real wire; the
+    refinement happens exactly once."""
+    from avcer_tpu.core.checkpoint import init_variables
+    from avcer_tpu.core.config import DetectorConfig
+    from avcer_tpu.pipeline.detect import DetectStage
+
+    model = RetinaFace(backbone="mobilenet0.25", dtype=jnp.float32)
+    variables = init_variables(model, (jnp.zeros((1, 64, 64, 3), jnp.float32),))
+    cfg = DetectorConfig(
+        long_side=64, batch_size=2, backbone="mobilenet0.25", quant="int8",
+        transfer_format="bgr", dtype="float32",
+    )
+    stage = DetectStage(cfg, variables, dtype=jnp.float32)
+    assert not stage._real_calibrated
+    seed = jax.tree.map(np.asarray, stage.variables["act_scales"])
+    frames = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    packed, scale, _ = stage.dispatch(frames)
+    assert stage._real_calibrated
+    refined = jax.tree.map(np.asarray, stage.variables["act_scales"])
+    # running max: refined scales never shrink below the seed
+    for s0, s1 in zip(jax.tree.leaves(seed), jax.tree.leaves(refined)):
+        assert s1 >= s0
+    assert np.isfinite(np.asarray(packed)).all()
+    v0 = refined
+    stage.dispatch(frames)  # second dispatch must not recalibrate
+    v1 = jax.tree.map(np.asarray, stage.variables["act_scales"])
+    for s0, s1 in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        assert s0 == s1
+
+
 def test_retinaface_s2d_stem_same_outputs(rng):
     """Full detector outputs match between stem implementations with shared
     variables (the conversion/param tree is unchanged by s2d_stem)."""
