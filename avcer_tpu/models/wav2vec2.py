@@ -55,9 +55,11 @@ class Wav2Vec2Config:
     #: no effect on inference)
     remat: bool = False
     #: int8 serving: the 6 Dense projections per encoder layer (q/k/v/out +
-    #: FFN) run quantized on the MXU (layers.QDense, 1.61x on the FFN
-    #: matmul); LayerNorms, attention softmax, feature extractor and heads
-    #: stay exact. Calibrate act_scales via AudioStage (inference-only).
+    #: FFN, layers.QDense — 1.61x on the FFN matmul) and the feature
+    #: extractor's 512-channel conv layers 2-7 (layers.QConv1d) run
+    #: quantized on the MXU; LayerNorms, attention softmax, the 1-channel
+    #: first conv, and heads stay exact. Calibrate act_scales via
+    #: AudioStage (inference-only).
     quant: bool = False
 
     def num_output_frames(self, num_samples: int) -> int:

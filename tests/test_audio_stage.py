@@ -52,28 +52,50 @@ def test_device_window_extraction_matches_host(stage, padding, rng):
     np.testing.assert_allclose(got, host_windows.batch, atol=1e-6)
 
 
-def test_shared_extractor_stream_slices_match_window_features(stage, rng):
+@pytest.mark.parametrize("quant", ["none", "int8"])
+def test_shared_extractor_stream_slices_match_window_features(stage, rng, quant):
     """Core identity behind AudioConfig.shared_extractor: the VALID-padded
     conv stack is shift-invariant, so stream features at frame
     start//prod(stride) + j equal window-local frame j EXACTLY when the
     same normalization is applied (the serving mode's only approximation is
-    normalizing once per wav instead of per window)."""
-    import jax
+    normalizing once per wav instead of per window). The identity must also
+    hold for the int8 extractor with STATIC calibrated scales (quantization
+    is elementwise with the same per-layer scale in both paths) — the turbo
+    preset ships that combination."""
+    import dataclasses
+
+    from avcer_tpu.models.audio_heads import ExprModel
 
     wav = (rng.normal(size=int(6.5 * 16000)) * 0.1).astype(np.float32)
     xn = (wav - wav.mean()) / np.sqrt(wav.var() + 1e-7)
     window = 64000
+    if quant == "int8":
+        model = ExprModel(
+            variant="v3", num_classes=8,
+            wav2vec2_config=dataclasses.replace(TINY, quant=True),
+            dtype=jnp.float32,
+        )
+        variables = stage.variables
+        # calibrated static scales ON THIS SIGNAL: without them the dynamic
+        # per-tensor scale would differ between the stream and each window
+        _, upd = model.apply(
+            variables, jnp.asarray(xn[:window][None]),
+            mutable=["act_scales"],
+        )
+        variables = {**variables, "act_scales": upd["act_scales"]}
+    else:
+        model, variables = stage.model, stage.variables
     stream = np.asarray(
-        stage.model.apply(
-            stage.variables, jnp.asarray(xn[None]), w2v_mode="features_only"
+        model.apply(
+            variables, jnp.asarray(xn[None]), w2v_mode="features_only"
         )[0]
     )
     stride_total = int(np.prod(TINY.conv_stride))
     fpw = TINY.num_output_frames(window)
     for s in (0, 8000, 24000, 40000):  # multiples of stride_total
         per_window = np.asarray(
-            stage.model.apply(
-                stage.variables, jnp.asarray(xn[s : s + window][None]),
+            model.apply(
+                variables, jnp.asarray(xn[s : s + window][None]),
                 w2v_mode="features_only",
             )[0]
         )
