@@ -34,15 +34,25 @@ def gather_corpus(ann_root: str, preds_root: str, label_col: str = "Neutral"):
         if not ann.endswith(".csv"):
             continue
         name = ann[:-4]
-        stat_p = os.path.join(preds_root, "video", f"static__{name}.csv")
-        dyn_p = os.path.join(preds_root, "video", f"dynamic__{name}.csv")
-        audio_p = os.path.join(preds_root, "audio", f"{name}.csv")
+        # this pipeline's own output layout: everything in preds_root with
+        # the audio__ prefix (runner.save_outputs); fall back to the
+        # video//audio subdir arrangement for hand-built caches
+        stat_p = os.path.join(preds_root, f"static__{name}.csv")
+        dyn_p = os.path.join(preds_root, f"dynamic__{name}.csv")
+        audio_p = os.path.join(preds_root, f"audio__{name}.csv")
+        if not os.path.exists(stat_p):
+            stat_p = os.path.join(preds_root, "video", f"static__{name}.csv")
+            dyn_p = os.path.join(preds_root, "video", f"dynamic__{name}.csv")
+            audio_p = os.path.join(preds_root, "audio", f"{name}.csv")
         if not (os.path.exists(stat_p) and os.path.exists(dyn_p) and os.path.exists(audio_p)):
             continue
         labels = pd.read_csv(os.path.join(ann_root, ann))[label_col].values
         stat, dyn = offline_eval.load_video_csvs(stat_p, dyn_p)
         audio = offline_eval.load_audio_csv(audio_p)
-        a = offline_eval.align_video(labels, stat, dyn, audio)
+        try:
+            a = offline_eval.align_video(labels, stat, dyn, audio)
+        except ValueError as e:
+            raise ValueError(f"{name}: {e}") from e
         trues.append(a.trues)
         stats.append(a.stat)
         dyns.append(a.dyn)

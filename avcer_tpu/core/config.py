@@ -162,6 +162,18 @@ class PipelineConfig:
     #: defaults are the measured v5e optima.
     calibrate: bool = False
 
+    def __post_init__(self) -> None:
+        # fail at config time, not after minutes of device compiles: the
+        # jpg crop dump is a per-frame parity artifact, incompatible with
+        # detect-stride serving (heatmaps are fine — they use the
+        # device-side step-crop fetch)
+        if self.save_face_crops and self.detector.stride > 1:
+            raise ValueError(
+                "save_face_crops requires detector stride=1 (the jpg dump"
+                " is a per-frame parity artifact); drop --save_face_crops"
+                " or the stride/turbo preset"
+            )
+
     def to_json(self, **kw: Any) -> str:
         return json.dumps(_asdict(self), indent=2, **kw)
 

@@ -75,7 +75,14 @@ def align_video(
 
     def take(arr: np.ndarray, n_target: int) -> np.ndarray:
         rows = arr[idx[idx < len(arr)]]
-        if len(rows) < n_target and len(rows) > 0:
+        if len(rows) == 0 and n_target > 0:
+            # a silent 0-row return would surface later as an opaque
+            # broadcasting error inside evaluate_fusion
+            raise ValueError(
+                "prediction CSV has no rows covering the kept label frames"
+                f" (first kept frame {idx[0]}, prediction rows {len(arr)})"
+            )
+        if len(rows) < n_target:
             rows = np.vstack([rows, np.repeat(rows[-1:], n_target - len(rows), 0)])
         return rows
 

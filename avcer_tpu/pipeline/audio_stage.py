@@ -91,7 +91,10 @@ class AudioStage:
         )
         self._jit_shared_features = jax.jit(self._shared_features_impl)
         self._jit_from_features = jax.jit(self._from_features_impl)
+        import threading
+
         self._real_calibrated = cfg.quant != "int8"
+        self._calib_lock = threading.Lock()
         if cfg.quant == "int8":
             # static activation scales (see pipeline/detect.py) — seeded on
             # noise windows, refined with the first real clip's windows in
@@ -234,14 +237,18 @@ class AudioStage:
         if not self._real_calibrated and len(spans):
             # refine noise-seeded int8 scales with real windows (host
             # windowing; shape (2, window) matches the constructor's
-            # calibration program so no extra compile)
-            window = int(self.cfg.window_sec * self.cfg.sample_rate)
-            step = int(self.cfg.step_sec * self.cfg.sample_rate)
-            wins = audio_ops.extract_windows(
-                np.asarray(wav, np.float32), window, step, self.cfg.padding
-            )
-            self.calibrate(np.resize(wins, (2, window)))
-            self._real_calibrated = True
+            # calibration program so no extra compile). Locked against
+            # concurrent run_many clips (see pipeline/detect.py).
+            with self._calib_lock:
+                if not self._real_calibrated:
+                    window = int(self.cfg.window_sec * self.cfg.sample_rate)
+                    step = int(self.cfg.step_sec * self.cfg.sample_rate)
+                    wins = audio_ops.extract_windows(
+                        np.asarray(wav, np.float32), window, step,
+                        self.cfg.padding,
+                    )
+                    self.calibrate(np.resize(wins, (2, window)))
+                    self._real_calibrated = True
         bs = self.cfg.batch_size
 
         def run_chunks(starts: np.ndarray, feats) -> list[np.ndarray]:

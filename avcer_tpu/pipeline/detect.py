@@ -72,8 +72,11 @@ class DetectStage:
             variables = jax.device_put(variables)
         self.variables = variables
         self._jit_forward = jax.jit(self._forward_impl)
+        import threading
+
         self._real_calibrated = False
         self._jit_calib_wire = None
+        self._calib_lock = threading.Lock()
         if cfg.quant == "int8":
             # static activation scales: without them every conv pays a
             # full-tensor max reduction per call, which costs more than int8
@@ -209,27 +212,34 @@ class DetectStage:
             # refine the noise-seeded activation scales with the FIRST real
             # batch (running max: real activations seen here can never be
             # clipped later). One extra forward + compile, once per process.
-            if self._jit_calib_wire is None:
-                def _calib(variables, w):
-                    from avcer_tpu.ops.image import i420_to_bgr_device
+            # Locked: run_many dispatches clips concurrently, and an
+            # unsynchronized check-then-set would let a second clip's
+            # calibration overwrite (not max with) the first's.
+            with self._calib_lock:
+                if not self._real_calibrated:
+                    if self._jit_calib_wire is None:
+                        def _calib(variables, w):
+                            from avcer_tpu.ops.image import i420_to_bgr_device
 
-                    if w.ndim == 3:
-                        frames = i420_to_bgr_device(
-                            w, w.shape[1] * 2 // 3, w.shape[2]
-                        )
-                    else:
-                        frames = w
-                    x = retinaface_normalize(frames[:2])
-                    _, upd = self.model.apply(
-                        variables, x, mutable=["act_scales"]
+                            if w.ndim == 3:
+                                frames = i420_to_bgr_device(
+                                    w, w.shape[1] * 2 // 3, w.shape[2]
+                                )
+                            else:
+                                frames = w
+                            x = retinaface_normalize(frames[:2])
+                            _, upd = self.model.apply(
+                                variables, x, mutable=["act_scales"]
+                            )
+                            return upd["act_scales"]
+
+                        self._jit_calib_wire = jax.jit(_calib)
+                    scales = self._jit_calib_wire(
+                        self.variables, jnp.asarray(wire)
                     )
-                    return upd["act_scales"]
-
-                self._jit_calib_wire = jax.jit(_calib)
-            scales = self._jit_calib_wire(self.variables, jnp.asarray(wire))
-            self.variables = {**self.variables,
-                              "act_scales": jax.device_put(scales)}
-            self._real_calibrated = True
+                    self.variables = {**self.variables,
+                                      "act_scales": jax.device_put(scales)}
+                    self._real_calibrated = True
         packed, frames_dev = self._jit_forward(self.variables, self._shard_input(wire))
         return packed, scale, frames_dev
 

@@ -136,8 +136,9 @@ class Pipeline:
         cfg = self.cfg.detector
         if cfg.stride > 1:
             raise ValueError(
-                "save_face_crops/heatmaps (host-crop path) require detector"
+                "save_face_crops (host-crop path) requires detector"
                 " stride=1 — the jpg dump is a per-frame parity artifact"
+                " (also validated in PipelineConfig.__post_init__)"
             )
         present: list[bool] = []
         crops: list[np.ndarray] = []

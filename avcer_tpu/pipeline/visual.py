@@ -128,9 +128,12 @@ class VisualStage:
         self._jit_static = jax.jit(self._static_impl)
         self._jit_static_from_frames = jax.jit(self._static_from_frames_impl)
         self._jit_lstm = jax.jit(self._lstm_impl)
+        import threading
+
         self.quant = quant
         self._real_calibrated = quant != "int8"
         self._jit_calib_frames = None
+        self._calib_lock = threading.Lock()
         if quant == "int8":
             # static activation scales for the int8 CNN (see
             # pipeline/detect.py — dynamic per-conv scales cost more than
@@ -257,9 +260,12 @@ class VisualStage:
             return np.zeros((0, nc), np.float32), np.zeros((0, 512), np.float32)
         if not self._real_calibrated:
             # first real crops refine the noise-seeded int8 scales; shape
-            # (2, ...) matches the constructor's calibration program
-            self.calibrate(np.resize(crops, (2,) + crops.shape[1:]))
-            self._real_calibrated = True
+            # (2, ...) matches the constructor's calibration program.
+            # Locked against concurrent run_many clips (see detect.py).
+            with self._calib_lock:
+                if not self._real_calibrated:
+                    self.calibrate(np.resize(crops, (2,) + crops.shape[1:]))
+                    self._real_calibrated = True
         bs = self.batch_size
         handles = []
         for s in range(0, p, bs):
@@ -285,29 +291,33 @@ class VisualStage:
             return np.zeros((0, nc), np.float32), np.zeros((0, 512), np.float32)
         if not self._real_calibrated:
             # refine the noise-seeded int8 activation scales with the first
-            # real crops (running max — see pipeline/detect.dispatch_wire)
-            if self._jit_calib_frames is None:
-                from avcer_tpu.ops.image import crop_and_resize_onehot
+            # real crops (running max — see pipeline/detect.dispatch_wire).
+            # Locked against concurrent run_many clips.
+            with self._calib_lock:
+                if not self._real_calibrated:
+                    if self._jit_calib_frames is None:
+                        from avcer_tpu.ops.image import crop_and_resize_onehot
 
-                def _calib(variables, frames, idx, bxs):
-                    crops = crop_and_resize_onehot(frames, idx, bxs, 224)
-                    _, upd = self.static_model.apply(
-                        variables, vggface_normalize(crops),
-                        mutable=["act_scales"],
+                        def _calib(variables, frames, idx, bxs):
+                            crops = crop_and_resize_onehot(frames, idx, bxs, 224)
+                            _, upd = self.static_model.apply(
+                                variables, vggface_normalize(crops),
+                                mutable=["act_scales"],
+                            )
+                            return upd["act_scales"]
+
+                        self._jit_calib_frames = jax.jit(_calib)
+                    sel = np.resize(np.arange(p), 8)  # fixed: repeat if p < 8
+                    scales = self._jit_calib_frames(
+                        self.static_variables, frames_dev,
+                        jnp.asarray(present_idx[sel].astype(np.int32)),
+                        jnp.asarray(boxes[sel].astype(np.int32)),
                     )
-                    return upd["act_scales"]
-
-                self._jit_calib_frames = jax.jit(_calib)
-            sel = np.resize(np.arange(p), 8)  # fixed shape: repeat if p < 8
-            scales = self._jit_calib_frames(
-                self.static_variables, frames_dev,
-                jnp.asarray(present_idx[sel].astype(np.int32)),
-                jnp.asarray(boxes[sel].astype(np.int32)),
-            )
-            self.static_variables = {
-                **self.static_variables, "act_scales": jax.device_put(scales)
-            }
-            self._real_calibrated = True
+                    self.static_variables = {
+                        **self.static_variables,
+                        "act_scales": jax.device_put(scales),
+                    }
+                    self._real_calibrated = True
         bs = self.batch_size
         handles = []
         for s in range(0, p, bs):

@@ -343,15 +343,22 @@ class Trainer:
                 rng=jax.random.PRNGKey(epoch),
             )
             say(f"epoch {epoch} train: {tr}")
-            state, ev = self.run_epoch(
-                state, eval_loader if eval_loader is not None else train_loader,
-                epoch, train=False,
-            )
-            say(f"epoch {epoch} eval: {ev}")
+            if eval_loader is not None:
+                state, sel_stats = self.run_epoch(
+                    state, eval_loader, epoch, train=False
+                )
+                say(f"epoch {epoch} eval: {sel_stats}")
+                phase_name = "eval"
+            else:
+                # no dev set: NO eval pass is run (an eval over the training
+                # data would double epoch cost and pick the most-overfit
+                # epoch as 'best'); selection falls back to train metrics
+                sel_stats = tr
+                phase_name = "train"
             if self.cfg.problem != "regression":
                 true, pred = self._last_epoch_outputs
-                self.write_confusion_matrix(true, pred, epoch, "eval")
-            if self.maybe_update_best(state, ev, epoch):
+                self.write_confusion_matrix(true, pred, epoch, phase_name)
+            if self.maybe_update_best(state, sel_stats, epoch):
                 ckpt_lib.save_converted(
                     self.cfg.log_root, family, {"params": self.best["state"]}
                 )

@@ -294,13 +294,16 @@ def test_trainer_fit_owns_epoch_loop(tmp_path, rng):
 
     assert os.path.exists(os.path.join(trainer.log_dir, "stats.csv"))
     svgs = glob.glob(os.path.join(trainer.log_dir, "confusion", "*.svg"))
-    assert len(svgs) == 2  # one eval confusion artifact per epoch
+    # no eval loader -> no eval pass (selection on train metrics); the
+    # confusion artifact comes from the train phase, one per epoch
+    assert len(svgs) == 2
+    assert all("train" in os.path.basename(s) for s in svgs)
     assert trainer.best["metric"] >= 0
     # best-weight export family written under log_root
     assert glob.glob(os.path.join(str(tmp_path), "**", "best_v3*"),
                      recursive=True)
-    # history holds train+eval rows per epoch
-    assert [h["epoch"] for h in trainer.history] == [0, 0, 1, 1]
+    # history holds one train row per epoch (no eval rows without a loader)
+    assert [h["epoch"] for h in trainer.history] == [0, 1]
 
     # resume: a fresh trainer continues from epoch 2 (no re-run of 0/1)
     trainer2 = Trainer(model, cfg, iters_per_epoch=2, unfreeze_last_n=1,
@@ -313,7 +316,7 @@ def test_trainer_fit_owns_epoch_loop(tmp_path, rng):
     assert any("resumed from epoch 1" in m for m in msgs2)
     # history (and thus stats.csv) keeps the pre-restart epochs — restored
     # from the checkpoint's aux sidecar — plus the new one
-    assert [h["epoch"] for h in trainer2.history] == [0, 0, 1, 1, 2, 2]
+    assert [h["epoch"] for h in trainer2.history] == [0, 1, 2]
     # the restored best metric survives the resume (a worse post-resume
     # epoch must not overwrite the exported best weights): it can only grow
     assert trainer2.best["metric"] >= trainer.best["metric"]
