@@ -35,7 +35,10 @@ def convert_video_to_audio(
     separator: Optional[Callable[[str, str], None]] = None,
 ) -> str:
     """ffmpeg extraction (run_convert_video_to_audio.py:28: 16 kHz mono
-    pcm_s16le). ``separator(in_wav, out_wav)`` hook replaces Spleeter."""
+    pcm_s16le). ``separator(in_wav, out_wav)`` hook replaces Spleeter;
+    when none is injected the built-in two-stage HPSS vocal separator
+    (pipeline/separate.py) runs, so ``vocal_separation=True`` works out of
+    the box under the reference's duration-checked contract."""
     if os.path.exists(path_wav):
         return path_wav
     ffmpeg = shutil.which("ffmpeg")
@@ -49,10 +52,9 @@ def convert_video_to_audio(
             check=True, capture_output=True,
         )
         if separator is None:
-            raise RuntimeError(
-                "vocal separation requested but no separator available "
-                "(the reference uses Spleeter, not present in this image)"
-            )
+            from avcer_tpu.pipeline.separate import hpss_separator
+
+            separator = hpss_separator
         separator(tmp, path_wav)
         _check_durations(tmp, path_wav)
         os.remove(tmp)
@@ -125,36 +127,84 @@ def energy_vad(
 def vad_speech_probs(
     wav: np.ndarray, sr: int = 16_000, window: int = 512
 ) -> np.ndarray:
-    """Per-window speech probability from spectral statistics — the model
-    half of the silero-equivalent VAD (run_vad.py:8-34; silero weights are
-    not fetchable in this image). Signals: SNR over the clip's noise floor,
-    speech-band (200-4000 Hz) energy concentration, and spectral
-    non-flatness (noise is flat, voiced speech is peaky)."""
+    """Per-window speech probability — the model half of the
+    silero-equivalent VAD (run_vad.py:8-34; silero weights are not
+    fetchable in this image).
+
+    Features per 32 ms frame, combined additively through a logistic
+    (weights tuned on the synthetic benchmark in
+    experiments/exp_vad_mouth.py — numbers in PARITY.md):
+
+    - SNR over the clip's 10th-percentile noise floor;
+    - speech-band (200-4000 Hz) energy concentration;
+    - **harmonicity**: peak normalized autocorrelation in the 70-350 Hz
+      pitch-lag range (voiced speech and tonal music high; noise and
+      percussion low);
+    - **pitch-contour variability**: context std of the autocorrelation
+      pitch lag in semitones (speech f0 drifts and vibrates; sustained
+      notes/chords hold a stable lag);
+    - **syllabic modulation**: interquartile spread of the log-energy
+      series over a ±0.5 s context — speech pulses at 3-5 Hz with a ~50%
+      duty cycle, giving a large IQR, while steady noise/chords give ~0
+      and sparse drum hits leave the quartiles on the sustained floor.
+
+    The additive form (vs the round-2 product of gates) keeps recall when
+    one cue is missing; music needs BOTH modulation and pitch movement to
+    score, which the benchmark shows it doesn't."""
     n = len(wav) // window
     if n == 0:
         return np.zeros(0, np.float32)
     frames = wav[: n * window].reshape(n, window).astype(np.float64)
-    spec = np.abs(np.fft.rfft(frames * np.hanning(window), axis=1)) ** 2
+    win = np.hanning(window)
+    spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
     freqs = np.fft.rfftfreq(window, 1.0 / sr)
     total = spec.sum(1) + 1e-12
     voice = spec[:, (freqs >= 200) & (freqs <= 4000)].sum(1)
-    ratio = voice / total
+    band = voice / total
     log_e = 10 * np.log10(total)
     floor = np.percentile(log_e, 10)
-    snr = log_e - floor
-    flatness = np.exp(np.mean(np.log(spec + 1e-12), axis=1)) / (
-        spec.mean(1) + 1e-12
-    )
+    snr = np.clip((log_e - floor) / 20.0, 0.0, 1.0)
 
-    def sigmoid(x):
-        return 1.0 / (1.0 + np.exp(-x))
+    # harmonicity + pitch lag via FFT autocorrelation (unwindowed frames)
+    fft2 = np.abs(np.fft.rfft(frames, n=2 * window, axis=1)) ** 2
+    ac = np.fft.irfft(fft2, axis=1)[:, :window]
+    ac0 = ac[:, 0] + 1e-12
+    lag_lo = max(2, int(sr / 350.0))
+    lag_hi = min(window - 1, int(sr / 70.0))
+    pitch_band = ac[:, lag_lo:lag_hi] / ac0[:, None]
+    harm = np.clip(pitch_band.max(1), 0.0, 1.0)
+    lag = (pitch_band.argmax(1) + lag_lo).astype(np.float64)
 
-    band_frac = float(((freqs >= 200) & (freqs <= 4000)).mean())
-    p = (
-        sigmoid(0.4 * (snr - 10.0))
-        * sigmoid(8.0 * (ratio - band_frac - 0.15))
-        * (1.0 - np.clip(flatness, 0.0, 1.0)) ** 0.25
+    # context features (±16 frames ≈ ±0.5 s)
+    ctx = 16
+    mod = np.zeros(n)
+    f0var = np.zeros(n)
+    semis = 12.0 * np.log2(lag)
+    voiced = harm > 0.5
+    for i in range(n):
+        lo, hi = max(0, i - ctx), min(n, i + ctx + 1)
+        e = log_e[lo:hi]
+        mod[i] = np.percentile(e, 75) - np.percentile(e, 25)
+        s = semis[lo:hi][voiced[lo:hi]]
+        if s.size >= 3:
+            f0var[i] = s.std()
+    mod = np.clip(mod / 6.0, 0.0, 1.0)        # 6 dB IQR = full evidence
+    f0var = np.clip(f0var / 1.0, 0.0, 1.0)    # 1 semitone std = full
+
+    score = (
+        1.2 * harm
+        + 1.5 * mod
+        + 0.8 * f0var
+        + 0.6 * snr
+        + 0.4 * band
+        - 2.0
     )
+    # light temporal smoothing so intra-syllable troughs don't chatter
+    k = np.array([0.2, 0.6, 1.0, 0.6, 0.2])
+    score = np.convolve(score, k / k.sum(), mode="same")
+    p = 1.0 / (1.0 + np.exp(-6.0 * score))
+    # hard floor: frames at the clip's noise floor are never speech
+    p = np.where(log_e - floor < 3.0, np.minimum(p, 0.1), p)
     return p.astype(np.float32)
 
 

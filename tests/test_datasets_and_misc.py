@@ -393,3 +393,184 @@ def test_mouth_open_extractor_end_to_end(tmp_path):
     # the open-mouth half trips the threshold; the closed half does not
     assert df["mouth_open"].values[-8:].all()
     assert not df["mouth_open"].values[:30].any()
+
+
+# ---------------------------------------------------------------------------
+# vocal separation (pipeline/separate.py — Spleeter-substitute contract,
+# run_convert_video_to_audio.py:36-95)
+# ---------------------------------------------------------------------------
+
+
+def _voice_music_mix(sr: int, sec: float = 4.0):
+    """Synthetic mix with known stems: 'voice' = vibrato harmonics with
+    syllabic AM; 'music' = a sustained chord + periodic drum clicks."""
+    rng = np.random.default_rng(7)
+    t = np.arange(int(sec * sr)) / sr
+    vib = 8 * np.sin(2 * np.pi * 5.5 * t)                   # +-8 Hz vibrato
+    phase = 2 * np.pi * np.cumsum(220 + vib) / sr
+    am = 0.55 + 0.45 * np.sin(2 * np.pi * 3.7 * t)          # syllable envelope
+    voice = am * sum(np.sin(k * phase) / k for k in (1, 2, 3, 4))
+    chord = sum(np.sin(2 * np.pi * f * t) for f in (130.8, 164.8, 196.0, 392.0))
+    drums = np.zeros_like(t)
+    click = int(0.03 * sr)
+    for s in np.arange(0.25, sec, 0.5):
+        i = int(s * sr)
+        drums[i : i + click] += rng.normal(0, 1.0, click) * np.hanning(click)
+    voice = (0.3 * voice).astype(np.float32)
+    music = (0.2 * chord + 0.3 * drums).astype(np.float32)
+    return voice, music
+
+
+def _corr(a: np.ndarray, b: np.ndarray) -> float:
+    a = a - a.mean()
+    b = b - b.mean()
+    return float(abs(np.dot(a, b)) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+
+def test_hpss_vocals_separates_synthetic_mix():
+    """Two-stage HPSS pulls the vibrato 'voice' out of a chord+drums mix.
+    Soft masking distorts phase, so raw voice correlation is not the right
+    bar; the separation quality measure is the voice-to-accompaniment
+    RATIO in the estimate vs in the mixture (measured on this fixture:
+    mix 0.49/0.87 = 0.57, est 0.32/0.05 = 7.0 — a >10x SIR gain)."""
+    from avcer_tpu.pipeline.separate import hpss_vocals
+
+    sr = 44_100
+    voice, music = _voice_music_mix(sr)
+    mix = voice + music
+    est = hpss_vocals(mix, sr)
+    assert est.shape == mix.shape
+    assert _corr(est, voice) > 0.2          # the voice survives
+    assert _corr(est, music) < _corr(mix, music) - 0.5  # accompaniment gone
+    ratio_mix = _corr(mix, voice) / _corr(mix, music)
+    ratio_est = _corr(est, voice) / max(_corr(est, music), 1e-6)
+    assert ratio_est > 5 * ratio_mix
+
+
+def test_hpss_separator_file_contract(tmp_path):
+    """separator(in_wav, out_wav) writes 16 kHz mono of identical duration
+    and passes the reference's duration sanity check."""
+    from avcer_tpu.pipeline import preprocess
+    from avcer_tpu.pipeline.media import read_wav, write_wav
+    from avcer_tpu.pipeline.separate import hpss_separator
+
+    sr = 44_100
+    voice, music = _voice_music_mix(sr, sec=2.0)
+    in_wav = str(tmp_path / "full.wav")
+    out_wav = str(tmp_path / "vocals.wav")
+    write_wav(in_wav, voice + music, sr)
+    hpss_separator(in_wav, out_wav)
+    data, out_sr = read_wav(out_wav)
+    assert out_sr == 16_000
+    assert data.shape[0] == 1
+    assert data.shape[1] == int(round(2.0 * 16_000))
+    preprocess._check_durations(in_wav, out_wav)  # must not raise
+
+
+def test_convert_video_to_audio_vocal_separation(tmp_path):
+    """vocal_separation=True works out of the box (no injected separator):
+    ffmpeg 44.1k extraction -> HPSS -> duration-checked 16 kHz wav
+    (run_convert_video_to_audio.py:36-95)."""
+    import shutil as _sh
+    import subprocess as _sp
+
+    ffmpeg = _sh.which("ffmpeg")
+    if ffmpeg is None:
+        pytest.skip("ffmpeg not available")
+    from avcer_tpu.pipeline import preprocess
+    from avcer_tpu.pipeline.media import read_wav, write_wav
+
+    sr = 44_100
+    voice, music = _voice_music_mix(sr, sec=2.0)
+    src_wav = str(tmp_path / "src.wav")
+    write_wav(src_wav, voice + music, sr)
+    video = str(tmp_path / "clip.mp4")
+    _sp.run(
+        [ffmpeg, "-y", "-f", "lavfi", "-i", "color=c=black:s=64x64:r=5:d=2",
+         "-i", src_wav, "-shortest", "-c:v", "mjpeg", "-c:a", "aac", video],
+        check=True, capture_output=True,
+    )
+    out = preprocess.convert_video_to_audio(
+        video, str(tmp_path / "vocals.wav"), vocal_separation=True
+    )
+    data, out_sr = read_wav(out)
+    assert out_sr == 16_000
+    assert abs(data.shape[1] / out_sr - 2.0) < 0.15
+
+
+# ---------------------------------------------------------------------------
+# VAD + mouth-open proxy validation regression gates (the round-2 verdict's
+# Missing #2/#3 drift study; full numbers in experiments/vad_mouth_validation
+# .json + PARITY.md — this pins a compact version so regressions fail CI)
+# ---------------------------------------------------------------------------
+
+
+def _load_vad_mouth_experiment():
+    import os
+    import importlib.util
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "experiments", "exp_vad_mouth.py",
+    )
+    spec = importlib.util.spec_from_file_location("exp_vad_mouth", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_vad_agreement_known_boundaries():
+    """spectral_vad vs ground truth on synthetic clips with known speech
+    boundaries (voice vs silence/noise/music backgrounds)."""
+    from avcer_tpu.pipeline.preprocess import spectral_vad
+
+    exp = _load_vad_mouth_experiment()
+    rng = np.random.default_rng(3)
+    bars = {"silence": 0.92, "noise": 0.92, "music": 0.55}
+    for kind, bar in bars.items():
+        f1s = []
+        for _ in range(2):
+            wav, mask = exp.build_clip(rng, kind, snr_db=10.0)
+            pred = exp.segments_to_mask(spectral_vad(wav, 16_000), len(wav))
+            tp = (pred & mask).sum(); fp = (pred & ~mask).sum()
+            fn = (~pred & mask).sum()
+            prec = tp / max(tp + fp, 1); rec = tp / max(tp + fn, 1)
+            f1s.append(2 * prec * rec / max(prec + rec, 1e-9))
+        assert np.mean(f1s) > bar, (kind, f1s)
+
+
+def test_mouth_proxy_agreement_known_areas():
+    """lip_area_from_crop + rolling-mean flags vs flags computed from the
+    TRUE (rendered) mouth areas across skin tones / sizes / lighting."""
+    from avcer_tpu.pipeline.preprocess import (
+        lip_area_from_crop, mouth_open_from_areas,
+    )
+
+    exp = _load_vad_mouth_experiment()
+    rng = np.random.default_rng(11)
+    proxy_all, true_all = [], []
+    for skin in [(120, 140, 190), (60, 70, 110)]:
+        for size in (64, 160):
+            for _ in range(10):
+                openness = float(rng.choice([0.0, 0.0, 0.4, 1.0]))
+                crop, ta = exp.render_face(
+                    rng, openness, size, skin, gain=rng.uniform(0.8, 1.2),
+                    noise=rng.uniform(0, 5), blur=1,
+                )
+                proxy_all.append(lip_area_from_crop(crop))
+                true_all.append(ta)
+    corr = np.corrcoef(proxy_all, true_all)[0, 1]
+    assert corr > 0.7, corr
+    # one long series through the full flag pipeline (rolling(30) smoothing
+    # lags transitions by up to a window on BOTH sides, so agreement is
+    # only meaningful over many phases)
+    states = np.repeat(rng.choice([0.0, 1.0], 8), 40)
+    proxy = [
+        exp.render_face(rng, s, 112, (120, 140, 190), 1.0, 3.0, 1)
+        for s in states
+    ]
+    flags_p = mouth_open_from_areas(
+        np.asarray([lip_area_from_crop(c) for c, _ in proxy])
+    )
+    flags_t = mouth_open_from_areas(np.asarray([ta for _, ta in proxy]))
+    assert (flags_p[30:] == flags_t[30:]).mean() > 0.75
