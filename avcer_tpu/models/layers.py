@@ -69,6 +69,32 @@ class TorchBatchNorm(nn.Module):
         return y.astype(self.dtype)
 
 
+def _ste(int8_fn, exact_fn, x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Straight-through estimator: forward = the served int8 program,
+    backward = the exact op's gradient.
+
+    Without this, round/int8-cast carry zero gradient, so constructing a
+    ``quant=True`` model inside the Trainer would silently train nothing
+    (every quantized layer's upstream gradient would be zero). With STE the
+    misuse instead degrades gracefully into standard quantization-aware
+    training semantics; inference cost is unchanged (the vjp is only built
+    when something differentiates through the call)."""
+
+    @jax.custom_vjp
+    def f(xx, kk):
+        return int8_fn(xx, kk)
+
+    def fwd(xx, kk):
+        return int8_fn(xx, kk), (xx, kk)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(exact_fn, *res)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f(x, kernel)
+
+
 def int8_conv(
     x: jax.Array,
     kernel: jax.Array,
@@ -101,26 +127,37 @@ def int8_conv(
     producer (writing int8 halves the activation bytes) and the dequant
     multiply folds into the following BatchNorm's static scale.
     """
-    if act_amax is None:
-        sx = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
-    else:
-        sx = act_amax.astype(jnp.float32) / 127.0
-    sx = jnp.maximum(sx, 1e-10)
-    xq = jnp.clip(
-        jnp.round(x.astype(jnp.float32) / sx), -127, 127
-    ).astype(jnp.int8)
-    sw = jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=(0, 1, 2)) / 127.0
-    sw = jnp.maximum(sw, 1e-10)
-    wq = jnp.clip(
-        jnp.round(kernel.astype(jnp.float32) / sw), -127, 127
-    ).astype(jnp.int8)
-    acc = jax.lax.conv_general_dilated(
-        xq, wq, window_strides=strides, padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=feature_group_count,
-        preferred_element_type=jnp.int32,
-    )
-    return (acc.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
+    def impl(xx, kk):
+        if act_amax is None:
+            sx = jnp.max(jnp.abs(xx)).astype(jnp.float32) / 127.0
+        else:
+            sx = act_amax.astype(jnp.float32) / 127.0
+        sx = jnp.maximum(sx, 1e-10)
+        xq = jnp.clip(
+            jnp.round(xx.astype(jnp.float32) / sx), -127, 127
+        ).astype(jnp.int8)
+        sw = jnp.max(jnp.abs(kk.astype(jnp.float32)), axis=(0, 1, 2)) / 127.0
+        sw = jnp.maximum(sw, 1e-10)
+        wq = jnp.clip(
+            jnp.round(kk.astype(jnp.float32) / sw), -127, 127
+        ).astype(jnp.int8)
+        acc = jax.lax.conv_general_dilated(
+            xq, wq, window_strides=strides, padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=feature_group_count,
+            preferred_element_type=jnp.int32,
+        )
+        return (acc.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
+
+    def exact(xx, kk):
+        return jax.lax.conv_general_dilated(
+            xx.astype(jnp.float32), kk.astype(jnp.float32),
+            window_strides=strides, padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=feature_group_count,
+        ).astype(out_dtype)
+
+    return _ste(impl, exact, x, kernel)
 
 
 def int8_matmul(
@@ -134,24 +171,33 @@ def int8_matmul(
     (x [..., K] @ kernel [K, N]); same scale scheme as int8_conv
     (per-tensor activation, per-output-column weight, int32 accumulation).
     Measured 1.61x vs bf16 on the wav2vec2 FFN shape (exp_r5b)."""
-    if act_amax is None:
-        sx = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
-    else:
-        sx = act_amax.astype(jnp.float32) / 127.0
-    sx = jnp.maximum(sx, 1e-10)
-    xq = jnp.clip(
-        jnp.round(x.astype(jnp.float32) / sx), -127, 127
-    ).astype(jnp.int8)
-    sw = jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=0) / 127.0
-    sw = jnp.maximum(sw, 1e-10)
-    wq = jnp.clip(
-        jnp.round(kernel.astype(jnp.float32) / sw), -127, 127
-    ).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    return (acc.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
+    def impl(xx, kk):
+        if act_amax is None:
+            sx = jnp.max(jnp.abs(xx)).astype(jnp.float32) / 127.0
+        else:
+            sx = act_amax.astype(jnp.float32) / 127.0
+        sx = jnp.maximum(sx, 1e-10)
+        xq = jnp.clip(
+            jnp.round(xx.astype(jnp.float32) / sx), -127, 127
+        ).astype(jnp.int8)
+        sw = jnp.max(jnp.abs(kk.astype(jnp.float32)), axis=0) / 127.0
+        sw = jnp.maximum(sw, 1e-10)
+        wq = jnp.clip(
+            jnp.round(kk.astype(jnp.float32) / sw), -127, 127
+        ).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, wq, (((xx.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (acc.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
+
+    def exact(xx, kk):
+        return jax.lax.dot_general(
+            xx.astype(jnp.float32), kk.astype(jnp.float32),
+            (((xx.ndim - 1,), (0,)), ((), ())),
+        ).astype(out_dtype)
+
+    return _ste(impl, exact, x, kernel)
 
 
 class QDense(nn.Module):
@@ -241,7 +287,10 @@ class QConv(nn.Module):
     Same parameter names, shapes, and initializers as nn.Conv (HWIO
     "kernel" + optional "bias"), so converted reference checkpoints load
     into either path unchanged; the int8 rounding happens inside the
-    program (see int8_conv / activation_amax). Inference-only.
+    program (see int8_conv / activation_amax). Built for inference; under
+    differentiation the straight-through estimator (``_ste``) supplies the
+    exact conv's gradient, so accidental (or deliberate QAT) training with
+    ``quant=True`` optimizes real gradients instead of silent zeros.
     """
 
     features: int

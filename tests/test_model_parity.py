@@ -295,3 +295,44 @@ def test_retinaface_s2d_stem_same_outputs(rng):
     np.testing.assert_allclose(np.asarray(loc2), np.asarray(loc), atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(conf2), np.asarray(conf), atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(landms2), np.asarray(landms), atol=1e-4, rtol=1e-4)
+
+
+def test_int8_ops_ste_gradients(rng):
+    """Differentiating through int8_matmul/int8_conv yields the EXACT op's
+    gradient via the straight-through estimator (ADVICE r2: round/int8-cast
+    otherwise carry zero gradient, so a quant=True model built inside the
+    Trainer would silently train nothing)."""
+    from avcer_tpu.models.layers import int8_conv, int8_matmul
+
+    x = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+
+    gq = jax.grad(lambda w_: jnp.sum(int8_matmul(x, w_, out_dtype=jnp.float32) * c))(w)
+    ge = jax.grad(lambda w_: jnp.sum((x @ w_) * c))(w)
+    assert float(jnp.max(jnp.abs(gq))) > 0
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(ge), rtol=1e-5, atol=1e-5)
+    # gradient w.r.t. the activation too (upstream layers must keep training)
+    gxq = jax.grad(lambda x_: jnp.sum(int8_matmul(x_, w, out_dtype=jnp.float32) * c))(x)
+    gxe = jax.grad(lambda x_: jnp.sum((x_ @ w) * c))(x)
+    np.testing.assert_allclose(np.asarray(gxq), np.asarray(gxe), rtol=1e-5, atol=1e-5)
+
+    xc = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 4)).astype(np.float32))
+    cc = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+
+    def q_loss(k_):
+        y = int8_conv(xc, k_, strides=(1, 1), padding="SAME", out_dtype=jnp.float32)
+        return jnp.sum(y * cc)
+
+    def e_loss(k_):
+        y = jax.lax.conv_general_dilated(
+            xc, k_, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return jnp.sum(y * cc)
+
+    gq = jax.grad(q_loss)(k)
+    ge = jax.grad(e_loss)(k)
+    assert float(jnp.max(jnp.abs(gq))) > 0
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(ge), rtol=1e-4, atol=1e-4)
