@@ -17,6 +17,7 @@ Layout expectations (mirroring the reference's cache trees):
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 
@@ -40,6 +41,17 @@ def gather_corpus(ann_root: str, preds_root: str, label_col: str = "Neutral"):
         stat_p = os.path.join(preds_root, f"static__{name}.csv")
         dyn_p = os.path.join(preds_root, f"dynamic__{name}.csv")
         audio_p = os.path.join(preds_root, f"audio__{name}.csv")
+        if os.path.exists(stat_p) and not os.path.exists(audio_p):
+            # 7-class runs write audio under an audio_{padding}_{step}/
+            # subdir (runner.save_outputs, get_prob_audio_7_cl.py:153) while
+            # the video CSVs stay flat — probe those before giving up
+            cands = sorted(
+                glob.glob(
+                    os.path.join(preds_root, "audio_*", f"audio__{name}.csv")
+                )
+            )
+            if cands:
+                audio_p = cands[0]
         if not os.path.exists(stat_p):
             stat_p = os.path.join(preds_root, "video", f"static__{name}.csv")
             dyn_p = os.path.join(preds_root, "video", f"dynamic__{name}.csv")

@@ -21,6 +21,7 @@ import dataclasses
 import json
 import logging
 import os
+import tempfile
 import time
 
 import jax
@@ -29,7 +30,12 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
-DEFAULT_CACHE = os.path.join("/tmp", "avcer_calibration.json")
+# per-user cache path: a world-shared /tmp file could be pre-created or
+# poisoned by another user on a multi-tenant host
+DEFAULT_CACHE = os.path.join(
+    tempfile.gettempdir(),
+    f"avcer_calibration_{getattr(os, 'getuid', lambda: 'u')()}.json",
+)
 
 
 def _barrier(x) -> None:
@@ -73,6 +79,24 @@ def _cache_key(pipe) -> str:
     )
 
 
+def valid_record(rec) -> bool:
+    """Self-consistency check before adopting a cached calibration record:
+    a corrupt or hand-edited entry (advisor r2: the cache file is a shared
+    mutable input) must trigger a re-measure, not be applied. The caller's
+    candidate lists deliberately do NOT gate a hit — the cache contract is
+    "this device+config was measured once" (the round-trip test passes
+    disjoint candidates to prove no re-measurement happens on a hit)."""
+    return (
+        isinstance(rec, dict)
+        and isinstance(rec.get("visual_batch"), int)
+        and isinstance(rec.get("audio_batch"), int)
+        and rec["visual_batch"] > 0
+        and rec["audio_batch"] > 0
+        and str(rec["visual_batch"]) in rec.get("cnn_ms_per_frame", {})
+        and str(rec["audio_batch"]) in rec.get("audio_ms_per_window", {})
+    )
+
+
 def calibrate(
     pipe,
     cache_path: str | None = DEFAULT_CACHE,
@@ -89,9 +113,10 @@ def calibrate(
                 cache = json.load(f)
         except (OSError, json.JSONDecodeError):
             cache = {}
-        if key in cache:
-            apply_calibration(pipe, cache[key])
-            return cache[key]
+        rec = cache.get(key)
+        if valid_record(rec):
+            apply_calibration(pipe, rec)
+            return rec
     else:
         cache = {}
 

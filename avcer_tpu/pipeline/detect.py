@@ -14,6 +14,7 @@ Two input modes (DetectorConfig.long_side):
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from typing import Any
 
@@ -27,6 +28,8 @@ from avcer_tpu.ops import nms as nms_ops
 from avcer_tpu.ops.image import letterbox_params, retinaface_normalize
 from avcer_tpu.models.retinaface import RetinaFace
 
+log = logging.getLogger(__name__)
+
 
 @dataclass
 class Detections:
@@ -39,6 +42,10 @@ class Detections:
 
 
 class DetectStage:
+    #: int8 drift watch: batches between sampled re-calibration forwards
+    #: (64 x batch 32 = ~82 s of 25 fps video per sample)
+    RECALIB_EVERY = 64
+
     def __init__(
         self, cfg: DetectorConfig, variables: dict[str, Any], dtype=jnp.bfloat16,
         mesh=None,
@@ -77,6 +84,7 @@ class DetectStage:
         self._real_calibrated = False
         self._jit_calib_wire = None
         self._calib_lock = threading.Lock()
+        self._batches_seen = 0
         if cfg.quant == "int8":
             # static activation scales: without them every conv pays a
             # full-tensor max reduction per call, which costs more than int8
@@ -231,15 +239,51 @@ class DetectStage:
                             _, upd = self.model.apply(
                                 variables, x, mutable=["act_scales"]
                             )
-                            return upd["act_scales"]
+                            new = upd["act_scales"]
+                            old = variables["act_scales"]
+                            growth = jnp.max(
+                                jnp.stack([
+                                    jnp.max(n / jnp.maximum(o, 1e-10))
+                                    for n, o in zip(
+                                        jax.tree.leaves(new),
+                                        jax.tree.leaves(old),
+                                    )
+                                ])
+                            )
+                            return new, growth
 
                         self._jit_calib_wire = jax.jit(_calib)
-                    scales = self._jit_calib_wire(
+                    scales, _ = self._jit_calib_wire(
                         self.variables, jnp.asarray(wire)
                     )
                     self.variables = {**self.variables,
                                       "act_scales": jax.device_put(scales)}
                     self._real_calibrated = True
+        elif self.cfg.quant == "int8":
+            # periodic drift watch: scales were frozen after the first real
+            # batch, and a quiet first clip could leave later, louder clips
+            # silently clipped at quantization. Every RECALIB_EVERY batches
+            # (~5 min of 25 fps video), re-run the cheap 2-frame calibration
+            # forward on the current batch: adopt any grown scales (running
+            # max — strictly safe) and warn when growth was material.
+            with self._calib_lock:
+                self._batches_seen += 1
+                due = self._batches_seen % self.RECALIB_EVERY == 0
+            if due:
+                scales, growth = self._jit_calib_wire(
+                    self.variables, jnp.asarray(wire)
+                )
+                with self._calib_lock:
+                    self.variables = {**self.variables,
+                                      "act_scales": jax.device_put(scales)}
+                g = float(growth)
+                if g > 1.05:
+                    log.warning(
+                        "int8 act_scales grew %.1f%% on a sampled batch — "
+                        "earlier clips were quantized with too-small scales; "
+                        "scales updated from here on. Consider calibrate() "
+                        "on representative frames up front.", (g - 1) * 100,
+                    )
         packed, frames_dev = self._jit_forward(self.variables, self._shard_input(wire))
         return packed, scale, frames_dev
 

@@ -465,3 +465,26 @@ def test_calibrate_batch_sizes(tmp_path, rng):
     rec2 = calibrate(pipe2, cache_path=cache, cnn_batches=(999,), audio_batches=(999,))
     assert rec2 == rec
     assert pipe2.visual.batch_size == rec["visual_batch"]
+
+
+def test_calibration_record_validation():
+    """Corrupt/hand-edited cache entries are rejected (re-measure path);
+    well-formed measured records are adopted (advisor r2 cache-poisoning
+    finding)."""
+    from avcer_tpu.pipeline.calibrate import valid_record
+
+    good = {
+        "visual_batch": 8,
+        "audio_batch": 4,
+        "cnn_ms_per_frame": {"4": 1.0, "8": 0.7},
+        "audio_ms_per_window": {"2": 3.0, "4": 2.5},
+    }
+    assert valid_record(good)
+    assert not valid_record(None)
+    assert not valid_record("256")
+    assert not valid_record({})
+    assert not valid_record({**good, "visual_batch": "8"})       # str, not int
+    assert not valid_record({**good, "visual_batch": -8})
+    assert not valid_record({**good, "audio_batch": 16})         # unmeasured
+    assert not valid_record({k: v for k, v in good.items()
+                             if k != "cnn_ms_per_frame"})
