@@ -143,6 +143,21 @@ def clamp_boxes(boxes: np.ndarray, width: int, height: int) -> np.ndarray:
     return b
 
 
+def clamp_boxes_valid(
+    boxes: np.ndarray, width: int, height: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """The full reference box rule used at every crop site: int cast
+    (truncation) + clamp (``clamp_boxes``) plus the degenerate-box test
+    ``x2 > x1 and y2 > y1`` that decides whether a detection yields a crop
+    at all (get_face_images.py:53-56 — a crop of zero width/height is
+    skipped there because the numpy slice comes out empty).
+
+    boxes: float [N, >=4]. Returns (int32 [N, 4], valid bool [N])."""
+    b = clamp_boxes(np.atleast_2d(np.asarray(boxes)), width, height)
+    valid = (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
+    return b, valid
+
+
 def vggface_normalize(crops_bgr: jax.Array) -> jax.Array:
     """Emotion-CNN input normalization, NHWC BGR.
 

@@ -32,6 +32,7 @@ import numpy as np
 from avcer_tpu.core import registry
 from avcer_tpu.core.config import PipelineConfig
 from avcer_tpu.fusion import compound as compound_mod
+from avcer_tpu.ops import image as image_ops
 from avcer_tpu.pipeline import media
 from avcer_tpu.pipeline.audio_stage import AudioStage
 from avcer_tpu.pipeline.detect import DetectStage
@@ -161,15 +162,13 @@ class Pipeline:
                 )
                 tids = tracker(frame_dets)
                 got_target = False
-                for det_row, tid in zip(frame_dets, tids):
-                    if tid is None:
+                cb, cb_ok = image_ops.clamp_boxes_valid(
+                    frame_dets, reader.meta.width, reader.meta.height
+                )
+                for j, (det_row, tid) in enumerate(zip(frame_dets, tids)):
+                    if tid is None or not cb_ok[j]:
                         continue
-                    x1, y1, x2, y2 = det_row[:4].astype(int)
-                    x1, y1 = max(0, x1), max(0, y1)
-                    x2 = min(reader.meta.width - 1, x2)
-                    y2 = min(reader.meta.height - 1, y2)
-                    if x2 <= x1 or y2 <= y1:
-                        continue
+                    x1, y1, x2, y2 = cb[j]
                     crop = frames_np[i, y1:y2, x1:x2]
                     if save_dir is not None:
                         c_path = os.path.join(save_dir, base, str(tid - 1).zfill(2))
@@ -257,11 +256,10 @@ class Pipeline:
                 for det_row, tid in zip(frame_dets, tids):
                     if tid != 1:
                         continue
-                    x1, y1, x2, y2 = det_row[:4].astype(int)
-                    x1, y1 = max(0, x1), max(0, y1)
-                    x2 = min(w_native - 1, x2)
-                    y2 = min(h_native - 1, y2)
-                    if x2 > x1 and y2 > y1:
+                    _, ok = image_ops.clamp_boxes_valid(
+                        det_row[None], w_native, h_native
+                    )
+                    if ok[0]:
                         tbox = det_row[:4].astype(np.float64)
                     break  # tracker ids are unique; at most one tid 1
                 det_boxes_nat.append(tbox)
@@ -314,12 +312,9 @@ class Pipeline:
             b1 = np.where(use1[:, None], bx[d1] if nd else 0.0, b0)
             box_f = (1 - frac[:, None]) * b0 + frac[:, None] * b1
             # reference int-cast (truncation) + clamp (get_face_images.py:53-56)
-            bi_ = box_f.astype(int)
-            x1 = np.maximum(bi_[:, 0], 0)
-            y1 = np.maximum(bi_[:, 1], 0)
-            x2 = np.minimum(bi_[:, 2], w_native - 1)
-            y2 = np.minimum(bi_[:, 3], h_native - 1)
-            present = ok0 & (x2 > x1) & (y2 > y1) & ((frame_ids // stride) < nd)
+            bi_, box_ok = image_ops.clamp_boxes_valid(box_f, w_native, h_native)
+            x1, y1, x2, y2 = bi_.T
+            present = ok0 & box_ok & ((frame_ids // stride) < nd)
             # clamp in native coords, then map to the on-device letterbox frame
             b = np.round(
                 np.stack([x1, y1, x2, y2], axis=1).astype(np.float64) * scale

@@ -59,6 +59,31 @@ def test_clamp_boxes():
     np.testing.assert_array_equal(got, [[0, 0, 639, 479]])
 
 
+def test_clamp_boxes_valid():
+    """The consolidated crop-site rule (runner uses this at all three crop
+    sites): truncating int cast + clamp + degenerate-box rejection
+    (get_face_images.py:53-56)."""
+    b = np.array(
+        [
+            [-5.2, -3.0, 700.9, 500.1],   # clamps to full frame -> valid
+            [10.7, 20.9, 11.2, 30.0],     # x2 truncates to 11 > 10 -> valid
+            [10.7, 20.0, 10.9, 30.0],     # x2 truncates to 10 == x1 -> invalid
+            [650.0, 10.0, 700.0, 20.0],   # fully right of frame -> invalid
+        ],
+        dtype=np.float64,
+    )
+    got, valid = img_ops.clamp_boxes_valid(b, width=640, height=480)
+    np.testing.assert_array_equal(got[0], [0, 0, 639, 479])
+    np.testing.assert_array_equal(got[1], [10, 20, 11, 30])
+    np.testing.assert_array_equal(valid, [True, True, False, False])
+    # 1-D row convenience (scalar call sites pass det_row[None])
+    got1, valid1 = img_ops.clamp_boxes_valid(b[2][None], 640, 480)
+    assert not valid1[0]
+    # empty input (frames with zero detections)
+    got0, valid0 = img_ops.clamp_boxes_valid(np.zeros((0, 5)), 640, 480)
+    assert got0.shape == (0, 4) and valid0.shape == (0,)
+
+
 def test_vggface_normalize_matches_reference_math(rng):
     """Reference chain (data/utils.py:19-39): BGR crop -> RGB -> PIL resize ->
     tensor -> channel flip back to BGR -> subtract means. Our op: BGR resize
