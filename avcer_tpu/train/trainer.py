@@ -197,18 +197,27 @@ class Trainer:
         return step_fn
 
     def train_step(self, state: TrainState, x, y, rng) -> tuple[TrainState, float, np.ndarray]:
+        """One SPMD step. ``x``/``y`` are this PROCESS's local batch rows; in
+        a multi-host run (jax.process_count() > 1) the global batch is their
+        concatenation across processes (parallel/distributed.global_batch),
+        single-host runs place the full batch identically."""
+        from avcer_tpu.parallel import distributed
+
         if self._jit_train_step is None:
             self._jit_train_step = jax.jit(self.make_train_step(), donate_argnums=(0,))
-        x = jax.device_put(jnp.asarray(x), mesh_lib.batch_sharding(self.mesh))
-        y = jax.device_put(jnp.asarray(y), mesh_lib.batch_sharding(self.mesh))
+        x = distributed.global_batch(self.mesh, x)
+        y = distributed.global_batch(self.mesh, y)
         return self._jit_train_step(state, x, y, rng)
 
     def eval_step(
         self, state: TrainState, x, y=None
     ) -> np.ndarray | tuple[np.ndarray, float]:
         """Eval forward. With labels, also returns the eval loss (the
-        reference logs loss in both phases — net_trainer.py run_epoch)."""
-        x = jax.device_put(jnp.asarray(x), mesh_lib.batch_sharding(self.mesh))
+        reference logs loss in both phases — net_trainer.py run_epoch).
+        Multi-host: the returned logits are this process's LOCAL rows."""
+        from avcer_tpu.parallel import distributed
+
+        x = distributed.global_batch(self.mesh, x)
         if y is None:
             # logits-only program: loss_fn's label format varies by config
             # (int classes / soft targets / VA pairs), so no dummy labels
@@ -220,7 +229,7 @@ class Trainer:
                     return logits
 
                 self._jit_eval_logits = jax.jit(g)
-            return np.asarray(
+            return distributed.local_rows(
                 self._jit_eval_logits(state.params, state.batch_stats, x)
             )
         if self._jit_eval_step is None:
@@ -229,9 +238,9 @@ class Trainer:
                 return logits, self.loss_fn(logits, y)
 
             self._jit_eval_step = jax.jit(f)
-        y_arr = jax.device_put(jnp.asarray(y), mesh_lib.batch_sharding(self.mesh))
+        y_arr = distributed.global_batch(self.mesh, y)
         logits, loss = self._jit_eval_step(state.params, state.batch_stats, x, y_arr)
-        return np.asarray(logits), float(loss)
+        return distributed.local_rows(logits), float(loss)
 
     # ------------------------------------------------------------------
     def run_epoch(
@@ -246,10 +255,13 @@ class Trainer:
         regression = self.cfg.problem == "regression"
         all_true, all_pred, losses = [], [], []
         t0 = time.perf_counter()
+        from avcer_tpu.parallel import distributed
+
         for x, y in loader:
             if train:
                 state, loss, logits = self.train_step(state, x, y, rng)
                 losses.append(float(loss))
+                logits = distributed.local_rows(logits)
             else:
                 logits, loss = self.eval_step(state, x, y)
                 losses.append(loss)
