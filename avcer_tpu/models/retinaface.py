@@ -183,7 +183,12 @@ class ResNet50Backbone(nn.Module):
     def __call__(
         self, x: jax.Array, train: bool = False
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
-        h = StemConv(s2d=self.s2d_stem, dtype=self.dtype, quant=self.quant,
+        # stem stays bf16 even in quant mode: a 3-input-channel conv gets no
+        # MXU win from int8 (contraction depth 3) but pays the quantize
+        # round-trip — measured 0.101 ms/frame int8 vs 0.072 bf16 at the 640
+        # bucket (experiments/exp_r6_results.jsonl, loop_cum_int8_stem vs
+        # r4b loop_cum_stem); every deeper section converts at 1.3-2.0x.
+        h = StemConv(s2d=self.s2d_stem, dtype=self.dtype, quant=False,
                      name="conv1")(x)
         h = TorchBatchNorm(dtype=self.dtype, name="bn1")(h, not train)
         h = nn.relu(h)
@@ -236,7 +241,10 @@ class MobileNetV1Backbone(nn.Module):
         self, x: jax.Array, train: bool = False
     ) -> tuple[jax.Array, jax.Array, jax.Array]:
         q = self.quant
-        h = ConvBN(8, 3, 2, leaky=0.1, dtype=self.dtype, quant=q,
+        # first conv stays bf16 in quant mode: 3 input channels -> no MXU
+        # win from int8, only quantize overhead (same physics as the r50
+        # stem, measured in exp_r6 loop_cum_int8_stem)
+        h = ConvBN(8, 3, 2, leaky=0.1, dtype=self.dtype, quant=False,
                    name="stage1_0")(x, train)
         for i, (ch, s) in enumerate([(16, 1), (32, 2), (32, 1), (64, 2), (64, 1)]):
             h = ConvDW(ch, s, dtype=self.dtype, quant=q, name=f"stage1_{i + 1}")(h, train)
