@@ -18,6 +18,16 @@ log = logging.getLogger("avcer_tpu")
 
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
+    # AVCER_PLATFORM=cpu|tpu forces the JAX backend (must happen before
+    # backend init). Plain JAX_PLATFORMS also works unless a site plugin
+    # overrides it, hence the dedicated knob.
+    import os as _os
+
+    _plat = _os.environ.get("AVCER_PLATFORM")
+    if _plat:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _plat)
     cfg, path_video, path_save, profile_dir = pipeline_config_from_args(argv)
     # flagship defaults match the reference __main__ (run.py:346-355):
     # published Dirichlet weights + Rule 1 masking

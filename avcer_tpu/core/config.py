@@ -249,23 +249,30 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
                         "2); boxes interpolated between detections, CNN "
                         "still runs every frame")
     p.add_argument("--serving_profile",
-                   choices=["parity", "int8", "fast", "turbo"], default="parity",
+                   choices=["parity", "balanced", "int8", "fast", "turbo"],
+                   default="parity",
                    help="measured speed/quality presets (BENCH_NOTES.md "
                         "round-4 table): parity = reference-exact r50@640 "
-                        "bf16; int8 = same models, calibrated int8 convs; "
+                        "bf16; balanced = exact math/weights at the 448 "
+                        "bucket (recall tradeoff below ~48 px native faces "
+                        "only — PARITY.md bucket table); int8 = parity "
+                        "models, calibrated int8 convs; "
                         "fast = int8 + the reference's mobilenet0.25 "
                         "backbone; turbo = fast + 448 bucket + detect "
-                        "stride 2. Explicit flags override the preset.")
+                        "stride 2 + shared audio extractor. Explicit flags "
+                        "override the preset.")
     a = p.parse_args(argv)
     head = a.audio_head or ("v3" if a.audio_classes == 8 else "v2")
-    quant = "none" if a.serving_profile == "parity" else "int8"
+    quant = "none" if a.serving_profile in ("parity", "balanced") else "int8"
     backbone = (
         "mobilenet0.25" if a.serving_profile in ("fast", "turbo") else "resnet50"
     )
     # None = flag not given -> preset decides (an EXPLICIT --long_side 640
     # with the turbo preset must stay 640, so the default is a sentinel)
     turbo = a.serving_profile == "turbo"
-    long_side = a.long_side if a.long_side is not None else (448 if turbo else 640)
+    small_bucket = a.serving_profile in ("turbo", "balanced")
+    long_side = a.long_side if a.long_side is not None else (
+        448 if small_bucket else 640)
     stride = a.detect_stride if a.detect_stride is not None else (2 if turbo else 1)
     cfg = PipelineConfig(
         detector=DetectorConfig(

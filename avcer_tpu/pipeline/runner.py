@@ -54,6 +54,11 @@ class ClipResult:
     audio_window_of_row: np.ndarray
     compound: Optional[compound_mod.CompoundResult] = None
     timings: dict[str, float] = field(default_factory=dict)
+    #: Per-frame chosen-face box in native int pixel coords (the reference's
+    #: int-cast+clamp rule, get_face_images.py:53-56); rows of -1 where no
+    #: face. Device path only (None on the host-crop path). Consumed by the
+    #: profile drift study (experiments/exp_profile_drift.py).
+    face_boxes: Optional[np.ndarray] = None  # [T, 4] int32 or None
 
     @property
     def rtf(self) -> float:
@@ -200,11 +205,14 @@ class Pipeline:
     # ------------------------------------------------------------------
     def detect_track_device(
         self, reader: media.VideoReader, crop_step: Optional[int] = None
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, Optional[np.ndarray]]:
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, Optional[np.ndarray],
+               np.ndarray]:
         """Fast path: frames stay ON DEVICE; detection results come back in
         ONE fetch per chunk; face crops are gathered on device and fed
         straight into the CNN (runner.run wires that). Returns
-        (present [T], stat_probs [P, C], feats [P, 512], step_crops).
+        (present [T], stat_probs [P, C], feats [P, 512], step_crops,
+        face_boxes [T, 4] int32 native int-cast+clamp coords, -1 rows where
+        no face).
 
         crop_step: if set, ALSO fetch uint8 224x224 crops for the frames on
         the dynamic-model cadence (absolute frame index % crop_step == 0 and
@@ -223,6 +231,7 @@ class Pipeline:
         tracker = self._new_tracker()
         w_native, h_native = reader.meta.width, reader.meta.height
         present_all: list[bool] = []
+        boxes_nat_all: list[np.ndarray] = []  # per-frame [4] int32 (-1 = none)
         stat_list, feats_list = [], []
         timing = os.environ.get("AVCER_TIMING") == "1"
         tacc: dict[str, float] = {"read": 0.0, "dispatch": 0.0, "fetch": 0.0,
@@ -325,6 +334,9 @@ class Pipeline:
             b[:, 3] = np.maximum(b[:, 3], b[:, 1] + 1)
             global_base = len(present_all)
             present_all.extend(present.tolist())
+            boxes_nat_all.append(
+                np.where(present[:, None], bi_.astype(np.int32), -1)
+            )
             present_idx = frame_ids[present].astype(np.int32)
             boxes_lb = b[present]
             if crop_step:
@@ -406,7 +418,12 @@ class Pipeline:
                 if step_crops_list
                 else np.zeros((0, 224, 224, 3), np.uint8)
             )
-        return np.asarray(present_all, bool), stat, feats, step_crops
+        face_boxes = (
+            np.concatenate(boxes_nat_all)
+            if boxes_nat_all
+            else np.zeros((0, 4), np.int32)
+        )
+        return np.asarray(present_all, bool), stat, feats, step_crops, face_boxes
 
     # ------------------------------------------------------------------
     def _audio_task(
@@ -469,13 +486,14 @@ class Pipeline:
         # of reverting the whole clip to per-frame host cropping
         use_host_crops = bool(self.cfg.save_face_crops)
         want_heatmaps = bool(self.cfg.heatmaps and path_save)
-        crops = step_crops = None
+        crops = step_crops = face_boxes = None
         if use_host_crops:
             save_dir = path_save if self.cfg.save_face_crops and path_save else None
             present, crops = self.detect_and_crop(reader, save_dir)
             stat_probs_p = feats_p = None
         else:
-            present, stat_probs_p, feats_p, step_crops = self.detect_track_device(
+            (present, stat_probs_p, feats_p, step_crops,
+             face_boxes) = self.detect_track_device(
                 reader, crop_step=step if want_heatmaps else None
             )
         reader.release()
@@ -541,6 +559,9 @@ class Pipeline:
             audio_window_of_row=audio_windows.window_of_row,
             compound=result,
             timings=timings,
+            face_boxes=(
+                face_boxes[:total_frames] if face_boxes is not None else None
+            ),
         )
         if path_save:
             with self._save_lock:

@@ -183,6 +183,10 @@ def test_serving_profile_presets():
 
     cfg, *_ = pipeline_config_from_args(["--serving_profile", "parity"])
     assert (cfg.detector.backbone, cfg.detector.quant) == ("resnet50", "none")
+    cfg, *_ = pipeline_config_from_args(["--serving_profile", "balanced"])
+    assert (cfg.detector.backbone, cfg.detector.quant) == ("resnet50", "none")
+    assert cfg.detector.long_side == 448 and cfg.detector.stride == 1
+    assert cfg.audio.quant == "none" and not cfg.audio.shared_extractor
     cfg, *_ = pipeline_config_from_args(["--serving_profile", "int8"])
     assert cfg.detector.quant == cfg.visual.quant == cfg.audio.quant == "int8"
     assert cfg.detector.long_side == 640 and cfg.detector.stride == 1
@@ -419,9 +423,12 @@ def test_detect_stride_box_interpolation(tmp_path, rng, stride, monkeypatch):
             return np.zeros((p, 7), np.float32), np.zeros((p, 512), np.float32)
 
     pipe.visual = FakeVisual()
-    present, stat, feats, _ = Pipeline.detect_track_device(pipe, FakeReader())
+    present, stat, feats, _, face_boxes = Pipeline.detect_track_device(
+        pipe, FakeReader()
+    )
 
     assert present.all() and len(present) == n_frames
+    assert face_boxes.shape == (n_frames, 4) and (face_boxes >= 0).all()
     idx = np.concatenate(recorded["idx"])
     boxes = np.concatenate(recorded["boxes"])
     np.testing.assert_array_equal(idx, np.arange(n_frames))
