@@ -90,6 +90,14 @@ class TimeDownsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if x.shape[1] < 51:
+            # VALID conv(k5,d2,s3) -> pool(5) -> VALID conv(k3) underflows to
+            # an EMPTY time axis below 51 frames; XLA returns 0-length (not
+            # an error like torch), and the mean-pool then yields silent NaN
+            raise ValueError(
+                f"TimeDownsample needs >= 51 input frames, got {x.shape[1]} "
+                "(a 4 s / 16 kHz window gives 199)"
+            )
         x = nn.Conv(
             self.features, kernel_size=(5,), strides=(3,), kernel_dilation=(2,),
             padding="VALID", dtype=self.dtype, name="conv1",
@@ -127,9 +135,16 @@ class ExprModel(nn.Module):
         return_features: bool = False,
         w2v_mode: str = "full",  # see Wav2Vec2Encoder.__call__ modes
     ) -> jax.Array | tuple[jax.Array, jax.Array]:
-        h = Wav2Vec2Encoder(self.wav2vec2_config, dtype=self.dtype, name="wav2vec2")(
-            wav, deterministic=deterministic, mode=w2v_mode
-        )
+        if w2v_mode == "hidden":
+            # the input IS final wav2vec2 hidden states [B, F, hidden] —
+            # produced externally, e.g. by the pipeline-parallel encoder
+            # (parallel/pipeline.py); run only the head
+            h = wav
+        else:
+            h = Wav2Vec2Encoder(self.wav2vec2_config, dtype=self.dtype,
+                                name="wav2vec2")(
+                wav, deterministic=deterministic, mode=w2v_mode
+            )
         if w2v_mode == "features_only":
             return h
         hidden = self.wav2vec2_config.hidden_size  # 1024 for the reference models

@@ -116,6 +116,52 @@ class FeatureProjection(nn.Module):
         return nn.Dropout(0.1)(x, deterministic=deterministic)
 
 
+class _GroupedConvSplit(nn.Module):
+    """Grouped 1-D conv computed as per-group feature_group_count=1 convs.
+
+    Parameter tree (kernel [K, C//G, C], bias [C]) and math are identical to
+    ``nn.Conv(C, (K,), feature_group_count=G)`` — input channel block g maps
+    to output channel block g through kernel output-column block g. The
+    split exists because GSPMD miscompiles the grouped-conv WEIGHT gradient
+    when the surrounding jit program contains a shard_map over a mesh with
+    an axis the batch is not sharded over (the pipeline-parallel path,
+    parallel/pipeline.py): the backward-weights conv picks up a spurious
+    reduction over the replicated "pipe" axis and d(loss)/d(kernel) comes
+    out exactly n_stages x too large (isolated by
+    tests/test_pipeline_pp.py::test_grad_equivalence — forward and
+    d(loss)/d(input) are unaffected). Regular convs take the well-tested
+    VJP path; FLOPs are identical.
+    """
+
+    features: int
+    kernel_size: int
+    groups: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k, g = self.kernel_size, self.groups
+        in_g = x.shape[-1] // g
+        out_g = self.features // g
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, in_g, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        xd = x.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+        pad = [(k // 2, k // 2)]
+        outs = [
+            jax.lax.conv_general_dilated(
+                xd[..., i * in_g:(i + 1) * in_g],
+                kd[:, :, i * out_g:(i + 1) * out_g],
+                window_strides=(1,), padding=pad,
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
+            for i in range(g)
+        ]
+        return jnp.concatenate(outs, axis=-1) + bias.astype(self.dtype)
+
+
 class PositionalConvEmbedding(nn.Module):
     """Grouped conv positional embedding; weight norm is fused into the conv
     weight at conversion time. Even kernel -> trim the trailing frame."""
@@ -126,9 +172,9 @@ class PositionalConvEmbedding(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         k = self.config.num_conv_pos_embeddings
-        h = nn.Conv(
-            self.config.hidden_size, kernel_size=(k,), padding=k // 2,
-            feature_group_count=self.config.num_conv_pos_embedding_groups,
+        h = _GroupedConvSplit(
+            self.config.hidden_size, kernel_size=k,
+            groups=self.config.num_conv_pos_embedding_groups,
             dtype=self.dtype, name="conv",
         )(x)
         if k % 2 == 0:
@@ -195,6 +241,10 @@ class Wav2Vec2Encoder(nn.Module):
       clip over the whole normalized waveform);
     - "from_features": the input IS a conv-feature batch [B, F, conv_dim];
       skip the extractor and run projection + transformer.
+    - "pre_layers" / "post_layers": split the forward around the encoder
+      layer stack for pipeline parallelism (parallel/pipeline.py):
+      "pre_layers" is wav -> hidden right before layers_0; "post_layers"
+      takes post-layer hidden states and applies only the final LayerNorm.
     Parameter tree is identical in all modes (init uses "full").
     """
 
@@ -206,25 +256,30 @@ class Wav2Vec2Encoder(nn.Module):
         self, wav: jax.Array, deterministic: bool = True, mode: str = "full"
     ) -> jax.Array:
         c = self.config
-        if mode == "from_features":
-            feats = wav
+        if mode == "post_layers":
+            h = wav  # hidden states straight out of the (pipelined) layers
         else:
-            feats = FeatureEncoder(c, dtype=self.dtype, name="feature_extractor")(wav)
-            if mode == "features_only":
-                return feats
-        h = FeatureProjection(c, dtype=self.dtype, name="feature_projection")(
-            feats, deterministic
-        )
-        pos = PositionalConvEmbedding(c, dtype=self.dtype, name="pos_conv_embed")(h)
-        h = h + pos
-        h = nn.Dropout(0.1)(h, deterministic=deterministic)
-        layer_cls = EncoderLayerStableLN
-        if c.remat:
-            # deterministic (arg 2) is a static python bool
-            layer_cls = nn.remat(EncoderLayerStableLN, static_argnums=(2,))
-        for i in range(c.num_layers):
-            h = layer_cls(c, dtype=self.dtype, name=f"layers_{i}")(
-                h, deterministic
+            if mode == "from_features":
+                feats = wav
+            else:
+                feats = FeatureEncoder(c, dtype=self.dtype, name="feature_extractor")(wav)
+                if mode == "features_only":
+                    return feats
+            h = FeatureProjection(c, dtype=self.dtype, name="feature_projection")(
+                feats, deterministic
             )
+            pos = PositionalConvEmbedding(c, dtype=self.dtype, name="pos_conv_embed")(h)
+            h = h + pos
+            h = nn.Dropout(0.1)(h, deterministic=deterministic)
+            if mode == "pre_layers":
+                return h
+            layer_cls = EncoderLayerStableLN
+            if c.remat:
+                # deterministic (arg 2) is a static python bool
+                layer_cls = nn.remat(EncoderLayerStableLN, static_argnums=(2,))
+            for i in range(c.num_layers):
+                h = layer_cls(c, dtype=self.dtype, name=f"layers_{i}")(
+                    h, deterministic
+                )
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="layer_norm")(h)
         return h.astype(self.dtype)
