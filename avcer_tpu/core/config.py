@@ -91,6 +91,9 @@ class VisualConfig:
     #: "int8" = quantized static-CNN serving (models/emotion_resnet.py quant;
     #: same checkpoint tree, calibrated activation scales). LSTM stays bf16.
     quant: str = "none"
+    #: exact space-to-depth stem (models/emotion_resnet.py s2d_stem; same
+    #: params/math). "auto" = on for bf16 TPU serving; bf16 path only.
+    s2d_stem: bool | str = False
 
 
 @dataclass(frozen=True)
@@ -133,10 +136,19 @@ class FusionConfig:
 class MeshConfig:
     """Device mesh for scale-out. Inference shards the frame/window batch
     axis ("data"); training adds optional model-parallel sharding of the
-    wav2vec2 encoder ("model")."""
+    wav2vec2 encoder ("model") OR GPipe pipeline parallelism over the
+    encoder layer stack ("pipe", parallel/pipeline.py) — mutually
+    exclusive axes for now."""
 
     data: int = 1
     model: int = 1
+    #: >1 = pipeline-parallel training: encoder layers stack on a leading
+    #: [L] axis sharded over "pipe" (params/grads/moments scale 1/pipe);
+    #: see train/trainer.py pp branch + parallel/pipeline.py.
+    pipe: int = 1
+    #: GPipe microbatches per step (bubble = (pipe-1)/(n_micro+pipe-1));
+    #: batch_size must divide data * pipe_microbatches.
+    pipe_microbatches: int = 2
 
 
 @dataclass(frozen=True)

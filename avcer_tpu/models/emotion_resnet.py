@@ -21,7 +21,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from avcer_tpu.models.layers import Dtype, QConv, TorchBatchNorm
+from avcer_tpu.models.layers import (
+    Dtype, QConv, TorchBatchNorm, s2d_fold_7x7_s2,
+)
 
 BN_EPS = 1e-3
 BN_MOMENTUM = 0.01  # torch momentum 0.99 convention quirk: reference passes
@@ -77,6 +79,29 @@ class Bottleneck(nn.Module):
         return nn.relu(h + identity)
 
 
+class _S2dStem(nn.Module):
+    """bf16 space-to-depth stem (layers.s2d_fold_7x7_s2, exact transform)
+    with the TF asymmetric same padding. Same param tree as the plain
+    ``nn.Conv(64, (7, 7), use_bias=False)`` stem."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, pad_h: tuple[int, int], pad_w: tuple[int, int]
+    ) -> jax.Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 3, 64),
+            jnp.float32,
+        )
+        xs, ks, pad = s2d_fold_7x7_s2(x, kernel, pad_h, pad_w)
+        return jax.lax.conv_general_dilated(
+            xs.astype(self.dtype), ks.astype(self.dtype),
+            window_strides=(1, 1), padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class EmotionResNet50(nn.Module):
     """Input: normalized BGR crops [B, 224, 224, 3] (ops.image.vggface_normalize).
 
@@ -91,6 +116,10 @@ class EmotionResNet50(nn.Module):
     #: convs run quantized on the MXU; fc head stays bf16. Same checkpoint
     #: tree; calibrate via the "act_scales" collection (VisualConfig.quant).
     quant: bool = False
+    #: exact space-to-depth stem reformulation (layers.s2d_fold_7x7_s2) —
+    #: same params, same math, MXU-friendly layout. bf16 path only; under
+    #: quant the stem keeps the QConv layout (pending a measured win).
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(
@@ -99,11 +128,14 @@ class EmotionResNet50(nn.Module):
         x = x.astype(self.dtype)
         h, w = x.shape[1], x.shape[2]
         ph, pw = same_pad(h, 7, 2), same_pad(w, 7, 2)
-        stem_cls = QConv if self.quant else nn.Conv
-        h_ = stem_cls(
-            64, (7, 7), strides=(2, 2), padding=(ph, pw), use_bias=False,
-            dtype=self.dtype, name="conv_stem",
-        )(x)
+        if self.s2d_stem and not self.quant:
+            h_ = _S2dStem(dtype=self.dtype, name="conv_stem")(x, ph, pw)
+        else:
+            stem_cls = QConv if self.quant else nn.Conv
+            h_ = stem_cls(
+                64, (7, 7), strides=(2, 2), padding=(ph, pw), use_bias=False,
+                dtype=self.dtype, name="conv_stem",
+            )(x)
         h_ = TorchBatchNorm(eps=BN_EPS, momentum=BN_MOMENTUM, dtype=self.dtype,
                             name="batch_norm1")(h_, not train)
         h_ = nn.relu(h_)

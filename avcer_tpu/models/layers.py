@@ -322,6 +322,57 @@ class QConv(nn.Module):
         return y
 
 
+def s2d_fold_7x7_s2(
+    x: jax.Array,  # [B, H, W, C]
+    kernel: jax.Array,  # [7, 7, C, O]
+    pad_h: tuple[int, int],
+    pad_w: tuple[int, int],
+) -> tuple[jax.Array, jax.Array, tuple[tuple[int, int], tuple[int, int]]]:
+    """Exact space-to-depth reformulation of a 7x7/stride-2 conv stem.
+
+    A 7x7 conv over 3 input channels keeps the MXU contraction dimension at
+    3 (padded up to the 128 systolic lanes -> ~2% utilization). Rearranging
+    2x2 pixel blocks into channels ([H, W, C] -> [H/2, W/2, 4C]) and folding
+    the 7-tap kernel into an equivalent 4x4/stride-1 kernel over 4C channels
+    (the classic MLPerf-ResNet TPU stem) computes the SAME products with the
+    same parameters — only the accumulation grouping changes.
+
+    Derivation per axis with low padding ``lo``: out[i] = sum_a w7[a] *
+    x[2i + a - lo]. With s2d row r holding (x[2r], x[2r+1]), tap (j, e) of
+    the 4-wide kernel multiplies x[2(i + j + r0) + e] where
+    r0 = -((lo + 1) // 2), so w4[j, e] = w7[2j + e + lo + 2*r0]: odd ``lo``
+    pads the 7 taps with one LEADING zero, even ``lo`` with one TRAILING
+    zero, and the s2d conv pads (-r0, 3 + r0). Supports the torchvision
+    stem (pad 3) and TF asymmetric "same" padding (pad lo 2 at 224/448
+    inputs) — exactness pinned in tests/test_model_parity.py.
+
+    Returns ``(x_s2d, kernel_s2d, padding)`` for a stride-1 VALID-layout
+    ``conv_general_dilated`` / ``int8_conv`` call.
+    """
+    b, h, w, c = x.shape
+    if h % 2 or w % 2:
+        # zero rows/cols at the far edge contribute zero, exactly like the
+        # conv's own high-side zero padding
+        x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+        h, w = h + h % 2, w + w % 2
+    xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+    pads = []
+    k8 = kernel
+    for axis, (lo, _hi) in enumerate((pad_h, pad_w)):
+        if lo not in (2, 3):
+            raise ValueError(f"s2d stem supports low padding 2 or 3, got {lo}")
+        spec = [(0, 0)] * 4
+        spec[axis] = (1, 0) if lo % 2 else (0, 1)
+        k8 = jnp.pad(k8, spec)
+        r0 = -((lo + 1) // 2)
+        pads.append((-r0, 3 + r0))
+    k8 = k8.reshape(4, 2, 4, 2, c, kernel.shape[-1])
+    ks = k8.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, kernel.shape[-1])
+    return xs, ks, (tuple(pads[0]), tuple(pads[1]))
+
+
 def max_pool_1d(x: jax.Array, window: int, stride: int | None = None) -> jax.Array:
     """torch MaxPool1d (valid padding, floor mode). x: [..., L, C]."""
     stride = stride or window

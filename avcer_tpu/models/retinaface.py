@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from avcer_tpu.models.layers import (
     Dtype, QConv, TorchBatchNorm, activation_amax as _activation_amax,
-    int8_conv,
+    int8_conv, s2d_fold_7x7_s2,
 )
 
 
@@ -144,32 +144,16 @@ class StemConv(nn.Module):
                 window_strides=(2, 2), padding=((3, 3), (3, 3)),
                 dimension_numbers=dn,
             )
-        b, h, w, c = x.shape
-        # pad H/W to even (zero rows/cols at the far edge contribute zero,
-        # exactly like the conv's own zero padding)
-        if h % 2 or w % 2:
-            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
-            h, w = h + h % 2, w + w % 2
-        # input: 2x2 pixel blocks -> channels, order (dy, dx, c)
-        xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-        # kernel: pad 7 taps -> 8 with one leading zero per spatial axis, then
-        # fold tap pairs into the matching (dy, dx, c) channel order.
-        # Derivation: out[i] = sum_a w7[a] * x[2i + a - 3]; with s2d rows
-        # r = i-2..i+1 holding (x[2r], x[2r+1]), tap (j, e) of the 4-wide
-        # kernel multiplies x offset 2j + e - 4, so w4[j, e] = w7[2j + e - 1]
-        # and (j=0, e=0) -> offset -4 -> zero.
-        k8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
-        k8 = k8.reshape(4, 2, 4, 2, c, 64)
-        ks = k8.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, 64)
+        # fold derivation + exactness contract: layers.s2d_fold_7x7_s2
+        xs, ks, pad = s2d_fold_7x7_s2(x, kernel, (3, 3), (3, 3))
         if self.quant:
             return int8_conv(
-                xs, ks, strides=(1, 1), padding=((2, 1), (2, 1)),
+                xs, ks, strides=(1, 1), padding=pad,
                 out_dtype=self.dtype, act_amax=_activation_amax(self, xs),
             )
         return jax.lax.conv_general_dilated(
             xs.astype(self.dtype), ks.astype(self.dtype),
-            window_strides=(1, 1), padding=((2, 1), (2, 1)),
+            window_strides=(1, 1), padding=pad,
             dimension_numbers=dn,
         )
 

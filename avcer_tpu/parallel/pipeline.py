@@ -227,6 +227,74 @@ def wav2vec2_hidden_pipelined(
     )
 
 
+def stack_encoder_params(params: dict, num_layers: int) -> dict:
+    """ExprModel param tree -> the pp-trainer layout: the wav2vec2
+    ``layers_{i}`` subtrees merge into one ``layers_stacked`` subtree whose
+    leaves carry a leading [L] axis (sharded ``P('pipe')`` on the mesh, so
+    params, grads and Adam moments for the encoder stack — ~85% of
+    wav2vec2-large — all scale as 1/n_stages per chip). Inverse:
+    :func:`unstack_encoder_params` (checkpoint export / conversion)."""
+    p = dict(params)
+    enc = dict(p["wav2vec2"])
+    stacked = stack_layers(enc, num_layers)
+    for i in range(num_layers):
+        del enc[f"layers_{i}"]
+    enc["layers_stacked"] = stacked
+    p["wav2vec2"] = enc
+    return p
+
+
+def unstack_encoder_params(params: dict, num_layers: int) -> dict:
+    """Inverse of :func:`stack_encoder_params` — back to the named tree the
+    converters/checkpoints/serving stages use."""
+    p = dict(params)
+    enc = dict(p["wav2vec2"])
+    stacked = enc.pop("layers_stacked")
+    enc.update(unstack_layers(stacked, num_layers))
+    p["wav2vec2"] = enc
+    return p
+
+
+def expr_logits_stacked(
+    model,
+    params: dict,
+    batch_stats: dict,
+    wav: jax.Array,
+    mesh: Mesh,
+    n_micro: int,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    mutable=False,
+    **head_kwargs,
+):
+    """ExprModel forward on the pp-trainer STACKED param layout (see
+    :func:`stack_encoder_params`): pre/post encoder pieces run data-parallel
+    from the named tree, the layer stack runs GPipe directly from the
+    pipe-sharded stacked leaves (no per-step stack/unstack traffic), and the
+    head consumes the replicated hidden states in ``w2v_mode='hidden'``.
+    ``head_kwargs`` pass through to the head apply (``return_features``)."""
+    from avcer_tpu.models.wav2vec2 import EncoderLayerStableLN, Wav2Vec2Encoder
+
+    cfg = model.wav2vec2_config
+    enc = Wav2Vec2Encoder(cfg, dtype=model.dtype)
+    enc_named = dict(params["wav2vec2"])
+    stacked = enc_named.pop("layers_stacked")
+    rngs = {"dropout": rng} if rng is not None else None
+    h = enc.apply(
+        {"params": enc_named}, wav, deterministic, mode="pre_layers", rngs=rngs
+    )
+    layer_mod = EncoderLayerStableLN(cfg, dtype=model.dtype)
+    h = gpipe_apply(mesh, layer_mod, stacked, h, n_micro, deterministic, rng)
+    h = enc.apply({"params": enc_named}, h, deterministic, mode="post_layers")
+    head_vars = {"params": params}
+    if batch_stats:
+        head_vars["batch_stats"] = batch_stats
+    return model.apply(
+        head_vars, h, deterministic=deterministic, w2v_mode="hidden",
+        rngs=rngs, mutable=mutable, **head_kwargs,
+    )
+
+
 def expr_logits_pipelined(
     model,
     variables: dict,

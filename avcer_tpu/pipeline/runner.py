@@ -100,7 +100,7 @@ class Pipeline:
         self.visual = VisualStage(
             static_vars, lstm_vars, num_classes=cfg.visual.num_classes,
             dtype=dt(cfg.visual.dtype), batch_size=cfg.visual.batch_size, mesh=mesh,
-            quant=cfg.visual.quant,
+            quant=cfg.visual.quant, s2d_stem=cfg.visual.s2d_stem,
         )
         self.audio = AudioStage(
             audio_vars, cfg.audio, wav2vec2_config, dtype=dt(cfg.audio.dtype),

@@ -106,9 +106,16 @@ class VisualStage:
         batch_size: int = 64,
         mesh=None,
         quant: str = "none",
+        s2d_stem: bool | str = False,
     ):
+        if s2d_stem == "auto":
+            import jax as _jax
+
+            s2d_stem = (_jax.default_backend() == "tpu"
+                        and dtype == jnp.bfloat16)
         self.static_model = EmotionResNet50(
-            num_classes=num_classes, dtype=dtype, quant=quant == "int8"
+            num_classes=num_classes, dtype=dtype, quant=quant == "int8",
+            s2d_stem=bool(s2d_stem),
         )
         self.lstm_model = TemporalLSTM(num_classes=num_classes, dtype=dtype)
         self.mesh = mesh

@@ -81,9 +81,19 @@ class Trainer:
     ):
         self.model = model
         self.cfg = cfg
-        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(
-            cfg.mesh.data, cfg.mesh.model
-        )
+        self.pipe = getattr(cfg.mesh, "pipe", 1)
+        if mesh is not None:
+            self.mesh = mesh
+        elif self.pipe > 1:
+            # GPipe over the wav2vec2 encoder layer stack
+            # (parallel/pipeline.py); exclusive with tensor parallelism
+            if cfg.mesh.model > 1:
+                raise ValueError("mesh.pipe and mesh.model are exclusive")
+            from avcer_tpu.parallel import pipeline as pp_lib
+
+            self.mesh = pp_lib.make_mesh_dp_pp(cfg.mesh.data, self.pipe)
+        else:
+            self.mesh = mesh_lib.make_mesh(cfg.mesh.data, cfg.mesh.model)
         self.class_weights = (
             jnp.asarray(class_weights, jnp.float32) if class_weights is not None else None
         )
@@ -128,11 +138,32 @@ class Trainer:
         variables = self.model.init(rng, jnp.asarray(example_batch[:1]))
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        if self.pipe > 1:
+            from avcer_tpu.parallel import pipeline as pp_lib
+
+            params = pp_lib.stack_encoder_params(params, self.wav2vec2_layers)
+            # per-layer freeze policy on the stacked [L, ...] leaves: the
+            # whole leaf rides the "train" partition and frozen layer
+            # SLICES are zero-masked in the step (multi_transform cannot
+            # split one leaf); moments for frozen slices stay zero, AdamW
+            # decay is masked with the updates.
+            self._pp_layer_mask = jnp.asarray(
+                [
+                    float(i >= self.wav2vec2_layers - self.unfreeze_last_n)
+                    for i in range(self.wav2vec2_layers)
+                ],
+                jnp.float32,
+            )
+
+        def trainable(path: str) -> bool:
+            if path.endswith("layers_stacked") or "layers_stacked/" in path:
+                return self.unfreeze_last_n > 0
+            return default_trainable(
+                path, self.unfreeze_last_n, self.wav2vec2_layers
+            )
+
         mask = jax.tree_util.tree_map_with_path(
-            lambda kp, _: default_trainable(
-                mesh_lib._path_str(kp), self.unfreeze_last_n, self.wav2vec2_layers
-            ),
-            params,
+            lambda kp, _: trainable(mesh_lib._path_str(kp)), params
         )
         self._trainable_mask = mask
         tx = optax.multi_transform(
@@ -142,16 +173,60 @@ class Trainer:
         self._full_tx = tx
         # place params on the mesh per the TP rules before opt init
         shardings = mesh_lib.param_shardings({"params": params}, self.mesh)["params"]
+        if self.pipe > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shardings = dict(shardings)
+            enc_sh = dict(shardings["wav2vec2"])
+            enc_sh["layers_stacked"] = jax.tree.map(
+                lambda leaf: NamedSharding(
+                    self.mesh, P("pipe", *([None] * (leaf.ndim - 1)))
+                ),
+                params["wav2vec2"]["layers_stacked"],
+            )
+            shardings["wav2vec2"] = enc_sh
         params = jax.tree.map(jax.device_put, params, shardings)
         opt_state = tx.init(params)
         return TrainState(params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
 
+    def _mask_pp(self, tree):
+        """Zero the frozen encoder-layer slices of the stacked grads AND
+        updates (freeze semantics on the [L, ...] pp layout: no momentum
+        accumulation, no AdamW decay for frozen layers — same end state as
+        the named-tree multi_transform partition)."""
+        if self.pipe <= 1:
+            return tree
+        t = dict(tree)
+        enc = dict(t["wav2vec2"])
+        enc["layers_stacked"] = jax.tree.map(
+            lambda g: g
+            * self._pp_layer_mask.reshape(-1, *([1] * (g.ndim - 1))).astype(
+                g.dtype
+            ),
+            enc["layers_stacked"],
+        )
+        t["wav2vec2"] = enc
+        return t
+
     # ------------------------------------------------------------------
     def _loss_and_logits(self, params, batch_stats, rng, x, y, train: bool):
+        mutable = ["batch_stats"] if (train and batch_stats) else False
+        if self.pipe > 1:
+            from avcer_tpu.parallel import pipeline as pp_lib
+
+            out = pp_lib.expr_logits_stacked(
+                self.model, params, batch_stats, x, self.mesh,
+                self.cfg.mesh.pipe_microbatches, deterministic=not train,
+                rng=rng if train else None, mutable=mutable,
+            )
+            logits, updates = out if mutable else (out, {})
+            new_stats = (
+                updates.get("batch_stats", batch_stats) if mutable else batch_stats
+            )
+            return logits, new_stats
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        mutable = ["batch_stats"] if (train and batch_stats) else False
         kwargs = dict(deterministic=not train)
         if train:
             out = self.model.apply(
@@ -189,7 +264,9 @@ class Trainer:
             (loss, (logits, new_stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params)
+            grads = self._mask_pp(grads)
             updates, new_opt = self._full_tx.update(grads, state.opt_state, state.params)
+            updates = self._mask_pp(updates)
             new_params = optax.apply_updates(state.params, updates)
             new_state = TrainState(new_params, new_stats, new_opt, state.step + 1)
             return new_state, loss, logits
@@ -388,6 +465,13 @@ class Trainer:
         consumed by run_extract_features.py)."""
         if self._jit_feature_step is None:
             def f(params, batch_stats, x):
+                if self.pipe > 1:
+                    from avcer_tpu.parallel import pipeline as pp_lib
+
+                    return pp_lib.expr_logits_stacked(
+                        self.model, params, batch_stats, x, self.mesh,
+                        self.cfg.mesh.pipe_microbatches, return_features=True,
+                    )
                 variables = {"params": params}
                 if batch_stats:
                     variables["batch_stats"] = batch_stats

@@ -144,6 +144,17 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             emit({"name": f"loop_cnn_{quant}", "error": repr(e)[:300]})
 
+    # full CNN with the exact s2d stem (models/emotion_resnet.py s2d_stem)
+    try:
+        em = EmotionResNet50(num_classes=7, dtype=jnp.bfloat16, s2d_stem=True)
+        ev = em.init(key, jnp.zeros((1, 224, 224, 3), jnp.float32))
+        ev = jax.device_put(ev)
+        sec = time_looped(lambda x: em.apply(ev, x)[0], xc, 30)
+        emit({"name": "loop_cnn_bf16_s2d",
+              "ms_per_frame": round(sec / 256 * 1e3, 4)})
+    except Exception as e:  # noqa: BLE001
+        emit({"name": "loop_cnn_bf16_s2d", "error": repr(e)[:300]})
+
     class CnnCum(nn.Module):
         upto: str
         quant: bool = True
@@ -349,6 +360,27 @@ def main() -> None:
               "ms_per_window": round(sec / 16 * 1e3, 4)})
     except Exception as e:  # noqa: BLE001
         emit({"name": "loop_audio_gather_norm", "error": repr(e)[:300]})
+
+    # ---- 9. full r50 detector with the s2d stem (parity-profile lever) -----
+    # exact-math reformulation (StemConv s2d=True): A/B against the plain
+    # loop_r50_{640,448}_bf16 / *_int8_bf16stem records from r6/4c above
+    for xin, quant, iters, tag in (
+        (x640, False, 150, "r50_640_bf16_s2d"),
+        (x448, False, 300, "r50_448_bf16_s2d"),
+        (x640, True, 150, "r50_640_int8_s2d"),
+        (x448, True, 300, "r50_448_int8_s2d"),
+    ):
+        try:
+            rf = RetinaFace(backbone="resnet50", dtype=jnp.bfloat16,
+                            quant=quant, s2d_stem=True)
+            rv = rf.init(key, jnp.zeros((1, 64, 64, 3), jnp.float32))
+            rv = calibrated(rf, rv, xin[:2])
+            rv = jax.device_put(rv)
+            sec = time_looped(lambda x: rf.apply(rv, x), xin, iters)
+            emit({"name": f"loop_{tag}",
+                  "ms_per_frame": round(sec / 32 * 1e3, 4)})
+        except Exception as e:  # noqa: BLE001
+            emit({"name": f"loop_{tag}", "error": repr(e)[:300]})
 
     emit({"name": "done_r6b"})
 

@@ -142,6 +142,25 @@ def test_s2d_stem_exactness(rng):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
 
 
+def test_emotion_s2d_stem_exactness(rng):
+    """EmotionResNet50's s2d stem (TF asymmetric same padding — low pad 2 at
+    224, unlike the detector's pad-3 stem) is the same function as the plain
+    stem, full-model, shared variables."""
+    from avcer_tpu.models.emotion_resnet import EmotionResNet50
+
+    for h, w in ((224, 224), (112, 96)):
+        x = jnp.asarray(rng.normal(size=(2, h, w, 3)).astype(np.float32))
+        base = EmotionResNet50(num_classes=7, dtype=jnp.float32)
+        variables = base.init(jax.random.PRNGKey(0), x)
+        logits, feats = jax.jit(base.apply)(variables, x)
+        s2d = EmotionResNet50(num_classes=7, dtype=jnp.float32, s2d_stem=True)
+        logits2, feats2 = jax.jit(s2d.apply)(variables, x)
+        np.testing.assert_allclose(
+            np.asarray(logits2), np.asarray(logits), atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(feats2), np.asarray(feats), atol=2e-5, rtol=1e-4)
+
+
 def test_wav2vec2_int8_quant_close_to_exact(rng):
     """AudioConfig.quant='int8': quantized encoder projections stay within
     tolerance of the exact path (same checkpoint tree), dynamic and
