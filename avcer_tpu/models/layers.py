@@ -95,6 +95,23 @@ def _ste(int8_fn, exact_fn, x: jax.Array, kernel: jax.Array) -> jax.Array:
     return f(x, kernel)
 
 
+def _int8_f32_accum() -> bool:
+    """CPU drift-study emulation knob (AVCER_INT8_CPU_F32_ACCUM=1, cpu
+    backend only): contract the ALREADY-QUANTIZED int8 values in f32
+    instead of int8->int32. XLA:CPU has no fast int8 conv/dot path (scalar
+    emulation, ~50x slower — it stalled the round-3 profile-drift study);
+    the quantize/round/clip stay byte-identical, and f32 accumulation of
+    exact int8 products deviates only once partial sums pass 2^24
+    (<=1e-7 relative — three orders below the int8 drift being measured).
+    Never active on TPU: the real serving path always accumulates int32."""
+    import os
+
+    import jax as _jax
+
+    return (os.environ.get("AVCER_INT8_CPU_F32_ACCUM") == "1"
+            and _jax.default_backend() == "cpu")
+
+
 def int8_conv(
     x: jax.Array,
     kernel: jax.Array,
@@ -141,12 +158,20 @@ def int8_conv(
         wq = jnp.clip(
             jnp.round(kk.astype(jnp.float32) / sw), -127, 127
         ).astype(jnp.int8)
-        acc = jax.lax.conv_general_dilated(
-            xq, wq, window_strides=strides, padding=padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=feature_group_count,
-            preferred_element_type=jnp.int32,
-        )
+        if _int8_f32_accum():
+            acc = jax.lax.conv_general_dilated(
+                xq.astype(jnp.float32), wq.astype(jnp.float32),
+                window_strides=strides, padding=padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=feature_group_count,
+            )
+        else:
+            acc = jax.lax.conv_general_dilated(
+                xq, wq, window_strides=strides, padding=padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=feature_group_count,
+                preferred_element_type=jnp.int32,
+            )
         return (acc.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
 
     def exact(xx, kk):
@@ -185,10 +210,16 @@ def int8_matmul(
         wq = jnp.clip(
             jnp.round(kk.astype(jnp.float32) / sw), -127, 127
         ).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            xq, wq, (((xx.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
+        if _int8_f32_accum():
+            acc = jax.lax.dot_general(
+                xq.astype(jnp.float32), wq.astype(jnp.float32),
+                (((xx.ndim - 1,), (0,)), ((), ())),
+            )
+        else:
+            acc = jax.lax.dot_general(
+                xq, wq, (((xx.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
         return (acc.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
 
     def exact(xx, kk):

@@ -47,6 +47,12 @@ sys.path.insert(0, os.path.join(ROOT, "tests"))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# int8 contractions accumulate in f32 on this CPU-only study: XLA:CPU has
+# no fast int8 conv/dot (scalar emulation stalled the first attempt at ~50x
+# slower); quantize/round/clip stay byte-identical and the accumulation
+# deviation is <=1e-7 relative (models/layers._int8_f32_accum), three
+# orders below the int8 drift measured here. TPU serving always runs int32.
+os.environ["AVCER_INT8_CPU_F32_ACCUM"] = "1"
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -305,6 +311,9 @@ def main() -> None:
             else:
                 results[profile].append(compare(parity_runs[ci], clip))
         log(f"profile {profile}: done")
+        with open(OUT + ".partial", "w") as f:  # survive interruption
+            json.dump({"per_clip": results,
+                       "minutes": round((time.time() - T0) / 60, 1)}, f)
 
     log("shared-extractor isolated study...")
     shared = shared_extractor_study(expr_v, wavs)
