@@ -267,7 +267,10 @@ def _structure_check(family: str, sd: dict, variables: dict) -> list[str]:
             wav2vec2_config=Wav2Vec2Config(num_layers=_expr_layers(sd)),
             dtype=jnp.float32,
         )
-        x = jnp.zeros((1, 16000), jnp.float32)
+        # the reference's real 4 s window (64000 samples -> 199 extractor
+        # frames): TimeDownsample requires >= 51 frames, and eval_shape is
+        # shape-only so the longer probe costs nothing
+        x = jnp.zeros((1, 64000), jnp.float32)
 
     want = jax.eval_shape(lambda: model.init(jax.random.key(0), x))
     w = {

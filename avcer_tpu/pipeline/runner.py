@@ -124,6 +124,12 @@ class Pipeline:
         return IoUTracker(
             iou_threshold=self.cfg.detector.tracker_iou,
             minimum_face_size=self.cfg.detector.min_face_size,
+            # detections arrive every stride-th frame: extrapolate tracklet
+            # motion across the gap (+ relaxed bootstrap threshold) or small
+            # fast faces drop under the IoU match threshold and the target
+            # identity (tracklet "00", get_prob_video.py:79) dies mid-clip
+            # (tracker.py docstring); stride 1 stays reference-exact
+            gap_frames=self.cfg.detector.stride,
         )
 
     # ------------------------------------------------------------------

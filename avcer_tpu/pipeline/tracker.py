@@ -12,6 +12,24 @@ face_detection/utils/simple_face_tracker.py:
 
 This stays on host: it is O(faces^2) sequential state machine work on a
 handful of boxes per frame — not worth a device program.
+
+``gap_frames`` (1 by default — stride-1 serving is reference-exact) adapts
+matching to detections that arrive every Nth frame (detect-stride
+serving). Without it a small fast face moves far enough between strided
+detections that the raw IoU falls under the 0.4 match threshold, the
+immediate-expiry rule kills the tracklet, and the target identity (the
+reference consumes tracklet "00" only — get_prob_video.py:79) is lost for
+the rest of the clip (measured: a 25 px face at 7 px/frame has
+inter-detection IoU 0.27 at stride 2). With gap_frames=N > 1:
+
+- a tracklet with an ESTABLISHED velocity (matched at least once) is
+  matched against its last box advanced by that velocity, at the normal
+  threshold;
+- a tracklet with no velocity yet (just created — nothing to extrapolate
+  from) is matched at the relaxed threshold iou_threshold/N, which admits
+  the IoU loss of an N-frame motion gap so the velocity can bootstrap.
+
+Expiry stays immediate and the Hungarian assignment is unchanged.
 """
 
 from __future__ import annotations
@@ -23,9 +41,11 @@ from scipy.optimize import linear_sum_assignment
 
 
 class IoUTracker:
-    def __init__(self, iou_threshold: float = 0.4, minimum_face_size: float = 0.0):
+    def __init__(self, iou_threshold: float = 0.4, minimum_face_size: float = 0.0,
+                 gap_frames: int = 1):
         self.iou_threshold = iou_threshold
         self.minimum_face_size = minimum_face_size
+        self.gap_frames = max(int(gap_frames), 1)
         self._tracklets: list[dict] = []
         self._counter = 0
 
@@ -42,6 +62,9 @@ class IoUTracker:
         boxes = np.asarray(boxes, dtype=float)
         areas = np.abs((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]))
         dist_thresh = float(np.clip(1.0 - self.iou_threshold, 0.0, 1.0))
+        # bootstrap threshold for velocity-less tracklets in gap mode
+        boot_thresh = float(np.clip(
+            1.0 - self.iou_threshold / self.gap_frames, 0.0, 1.0))
         min_area = max(self.minimum_face_size**2, np.finfo(float).eps)
 
         n, m = boxes.shape[0], len(self._tracklets)
@@ -52,7 +75,15 @@ class IoUTracker:
                 continue
             bx = boxes[row]
             for col, t in enumerate(self._tracklets):
-                tb = t["bbox"]
+                if self.gap_frames > 1 and t["vel"] is not None:
+                    tb = t["bbox"] + t["vel"]
+                    t_area = abs((tb[2] - tb[0]) * (tb[3] - tb[1]))
+                    col_thresh = dist_thresh
+                else:
+                    tb = t["bbox"]
+                    t_area = t["area"]
+                    col_thresh = (boot_thresh if self.gap_frames > 1
+                                  else dist_thresh)
                 x_left = max(min(bx[0], bx[2]), min(tb[0], tb[2]))
                 y_top = max(min(bx[1], bx[3]), min(tb[1], tb[3]))
                 x_right = min(max(bx[2], bx[0]), max(tb[2], tb[0]))
@@ -61,16 +92,22 @@ class IoUTracker:
                     d = 1.0
                 else:
                     inter = (x_right - x_left) * (y_bottom - y_top)
-                    d = 1.0 - inter / float(areas[row] + t["area"] - inter)
-                if d <= dist_thresh:
+                    d = 1.0 - inter / float(areas[row] + t_area - inter)
+                if d <= col_thresh:
                     distances[row, col] = d
 
+        # acceptance must use the same per-tracklet threshold the distance
+        # matrix was gated with (boot rows carry d in (dist_thresh,
+        # boot_thresh]); entries above their gate kept the fill value
+        accept = max(dist_thresh,
+                     boot_thresh if self.gap_frames > 1 else dist_thresh)
         ids: list[Optional[int]] = [None] * n
         if m:
             for row, col in zip(*linear_sum_assignment(distances)):
-                if distances[row, col] <= dist_thresh:
+                if distances[row, col] <= accept:
                     t = self._tracklets[col]
                     ids[row] = t["id"]
+                    t["vel"] = boxes[row, :4] - t["bbox"]
                     t["bbox"] = boxes[row, :4].copy()
                     t["area"] = areas[row]
                     t["tracked"] = True
@@ -83,7 +120,8 @@ class IoUTracker:
                 self._counter += 1
                 self._tracklets.append(
                     {"bbox": boxes[row, :4].copy(), "area": areas[row],
-                     "id": self._counter, "tracked": False}
+                     "vel": None, "id": self._counter,
+                     "tracked": False}
                 )
                 ids[row] = self._counter
         return ids

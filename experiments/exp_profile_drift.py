@@ -191,7 +191,7 @@ def build_pipeline(profile: str, det_r50, det_mnet, cnn_v, lstm_v, expr_v):
         detector=DetectorConfig(
             backbone=backbone,
             long_side=448 if (turbo or profile == "balanced") else 640,
-            stride=2 if turbo else 1,
+            stride=2 if (turbo or profile == "int8_s2") else 1,
             quant=quant,
             threshold=0.5,  # synthetic detectors: same calibration everywhere
             batch_size=16,

@@ -124,6 +124,46 @@ def test_tracker_non_overlapping_gets_new_id():
     assert tr(np.array([[50, 50, 60, 60, 0.9]])) == [2]
 
 
+def _fast_small_face_track(step: float):
+    """A 25 px box translating `step` px per observation — at step 14 the
+    inter-observation IoU is ~0.27, under the 0.4 match threshold (the
+    detect-stride-2 failure measured on the drift-study clips)."""
+    return [np.array([[100 + step * i, 50, 125 + step * i, 80, 0.9]])
+            for i in range(8)]
+
+
+def test_tracker_gap_mode_keeps_identity_across_stride_gaps():
+    # reference behavior (gap 1): the chain fragments — every observation
+    # becomes a new tracklet (immediate expiry, simple_face_tracker.py:74-75)
+    tr1 = IoUTracker(iou_threshold=0.4, gap_frames=1)
+    ids1 = [tr1(b)[0] for b in _fast_small_face_track(14.0)]
+    assert ids1 == list(range(1, 9))
+    # gap mode (detect stride 2): bootstrap threshold admits the first
+    # gap-sized motion, velocity extrapolation carries the rest -> one id
+    tr2 = IoUTracker(iou_threshold=0.4, gap_frames=2)
+    ids2 = [tr2(b)[0] for b in _fast_small_face_track(14.0)]
+    assert ids2 == [1] * 8
+
+
+def test_tracker_gap_one_is_reference_exact():
+    """gap_frames=1 must be byte-identical to the default tracker on a
+    jittery multi-face sequence (the stride-1 parity contract)."""
+    rng = np.random.default_rng(7)
+    seqs = []
+    base = np.array([[10, 10, 60, 70], [200, 40, 280, 130], [90, 150, 130, 200]],
+                    float)
+    for _ in range(30):
+        base = base + rng.normal(0, 4, size=base.shape)
+        drop = rng.random(3) < 0.2
+        frame = np.concatenate([base[~drop], np.full((int(drop.sum()), 4), -1)])
+        frame = frame[frame[:, 0] >= 0]
+        seqs.append(np.concatenate([frame, np.full((len(frame), 1), 0.9)], axis=1))
+    ta, tb = IoUTracker(iou_threshold=0.4), IoUTracker(iou_threshold=0.4,
+                                                       gap_frames=1)
+    for s in seqs:
+        assert ta(s) == tb(s)
+
+
 # ---------------------------------------------------------------------------
 # Audio -> frame alignment (spec: run.py:90-103)
 # ---------------------------------------------------------------------------
