@@ -261,18 +261,21 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
                         "2); boxes interpolated between detections, CNN "
                         "still runs every frame")
     p.add_argument("--serving_profile",
-                   choices=["parity", "balanced", "int8", "fast", "turbo"],
+                   choices=["parity", "balanced", "int8", "int8_s2", "fast",
+                            "turbo"],
                    default="parity",
                    help="measured speed/quality presets (BENCH_NOTES.md "
                         "round-4 table): parity = reference-exact r50@640 "
                         "bf16; balanced = exact math/weights at the 448 "
                         "bucket (recall tradeoff below ~48 px native faces "
                         "only — PARITY.md bucket table); int8 = parity "
-                        "models, calibrated int8 convs; "
-                        "fast = int8 + the reference's mobilenet0.25 "
-                        "backbone; turbo = fast + 448 bucket + detect "
-                        "stride 2 + shared audio extractor. Explicit flags "
-                        "override the preset.")
+                        "models, calibrated int8 convs; int8_s2 = int8 + "
+                        "detect stride 2 with the gap-mode tracker (full "
+                        "640 bucket, ~93 v-s/s at 0.992 AV agreement — "
+                        "PARITY.md frontier); fast = int8 + the "
+                        "reference's mobilenet0.25 backbone; turbo = fast "
+                        "+ 448 bucket + detect stride 2 + shared audio "
+                        "extractor. Explicit flags override the preset.")
     a = p.parse_args(argv)
     head = a.audio_head or ("v3" if a.audio_classes == 8 else "v2")
     quant = "none" if a.serving_profile in ("parity", "balanced") else "int8"
@@ -283,9 +286,11 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
     # with the turbo preset must stay 640, so the default is a sentinel)
     turbo = a.serving_profile == "turbo"
     small_bucket = a.serving_profile in ("turbo", "balanced")
+    strided = a.serving_profile in ("turbo", "int8_s2")
     long_side = a.long_side if a.long_side is not None else (
         448 if small_bucket else 640)
-    stride = a.detect_stride if a.detect_stride is not None else (2 if turbo else 1)
+    stride = a.detect_stride if a.detect_stride is not None else (
+        2 if strided else 1)
     cfg = PipelineConfig(
         detector=DetectorConfig(
             long_side=long_side, stride=stride, backbone=backbone, quant=quant,
