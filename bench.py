@@ -92,10 +92,46 @@ class ForceTopFace:
         return det
 
 
+def _preflight_device(timeout_s: float = 240.0) -> None:
+    """Fail fast (bounded) instead of hanging forever when the TPU relay is
+    unreachable: backend init through a dead tunnel blocks in C++ with no
+    Python-level timeout, so probe it in a subprocess first."""
+    import subprocess
+
+    probe = (
+        "import jax, jax.numpy as jnp;"
+        "d = jax.devices();"
+        "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready();"
+        "print(d[0].platform)"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", probe], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "end_to_end_throughput", "value": 0.0,
+            "unit": "video-sec/sec/chip", "vs_baseline": 0.0,
+            "error": f"device backend init exceeded {timeout_s:.0f}s "
+                     "(TPU relay unreachable) — no measurement possible",
+        }))
+        sys.exit(1)
+    if out.returncode != 0:
+        print(json.dumps({
+            "metric": "end_to_end_throughput", "value": 0.0,
+            "unit": "video-sec/sec/chip", "vs_baseline": 0.0,
+            "error": "device backend init failed: " + out.stderr[-400:],
+        }))
+        sys.exit(1)
+
+
 def main() -> None:
     import logging
 
     logging.getLogger("avcer_tpu").setLevel(logging.ERROR)
+
+    _preflight_device()
 
     from avcer_tpu.core.config import PipelineConfig, DetectorConfig
     from avcer_tpu.pipeline.builder import build_pipeline
