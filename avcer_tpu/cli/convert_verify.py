@@ -360,43 +360,108 @@ def _expr_converter(convert_mod, sd: dict, variant: str) -> dict:
     )
 
 
-def run_calibration(weights_dir: str, calib_videos: list[str], progress=print) -> dict:
+def run_calibration(weights_dir: str, calib_videos: list[str], progress=print,
+                    base_cfg=None, wav2vec2_config=None) -> dict:
     """int8 recalibration on representative clips: record activation scales
-    for the detector and emotion CNN from real frames (the product-path gap
-    flagged in round 2 — scales otherwise come from noise + first batch)."""
+    for the detector, the emotion CNN (via real detected crops), and the
+    audio model (via the clips' wav sidecars), and PERSIST them as
+    ``<weights_dir>/jax/<family>_act_scales`` sidecars — every later
+    serving run with this weights_dir adopts them at build time
+    (pipeline/builder.py), closing the round-2 product-path gap (scales
+    otherwise come from noise + the first served batch only)."""
     import dataclasses
 
     import cv2
 
+    from avcer_tpu.core import checkpoint
     from avcer_tpu.core.config import PipelineConfig
+    from avcer_tpu.ops.image import clamp_boxes_valid
+    from avcer_tpu.pipeline import audio_stage as audio_mod
+    from avcer_tpu.pipeline import media
     from avcer_tpu.pipeline.builder import build_pipeline
 
-    cfg = PipelineConfig()
+    cfg = base_cfg if base_cfg is not None else PipelineConfig()
     cfg = dataclasses.replace(
         cfg,
         weights_dir=weights_dir,
         detector=dataclasses.replace(cfg.detector, quant="int8"),
+        visual=dataclasses.replace(cfg.visual, quant="int8"),
+        audio=dataclasses.replace(cfg.audio, quant="int8"),
     )
-    pipe = build_pipeline(cfg)
-    frames = []
+    pipe = build_pipeline(cfg, wav2vec2_config=wav2vec2_config)
+    n_frames = n_crops = n_windows = 0
     for path in calib_videos:
+        # frames are prepared per clip: calib videos may differ in resolution
         cap = cv2.VideoCapture(path)
-        n = max(1, int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) // 16)
-        i = 0
-        while True:
+        every = max(1, int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) // 16)
+        frames, i = [], 0
+        while len(frames) < 32:
             ok, frame = cap.read()
             if not ok:
                 break
-            if i % n == 0:
+            if i % every == 0:
                 frames.append(frame)
             i += 1
         cap.release()
-    if not frames:
+        if frames:
+            batch = np.stack(frames)
+            prepped, _ = pipe.detect.prepare_batch(batch)
+            pipe.detect.calibrate(prepped)
+            n_frames += len(frames)
+            # emotion-CNN scales come from the crops the detector actually
+            # produces (top-scoring kept box per frame, serving crop rule)
+            packed, dscale, _dev = pipe.detect.dispatch(batch)
+            det = pipe.detect.unpack(np.asarray(packed, np.float32), dscale)
+            crops = []
+            for fi, frame in enumerate(frames):
+                scores = np.where(det.keep[fi], det.scores[fi], -np.inf)
+                if not np.isfinite(scores).any():
+                    continue
+                b, valid = clamp_boxes_valid(
+                    det.boxes[fi][int(np.argmax(scores))][None],
+                    frame.shape[1], frame.shape[0],
+                )
+                if not valid[0]:
+                    continue
+                x1, y1, x2, y2 = b[0]
+                crops.append(media.resize_nearest_np(
+                    frame[y1:y2, x1:x2], (224, 224)))
+            if crops:
+                pipe.visual.calibrate(np.stack(crops))
+                n_crops += len(crops)
+        try:
+            wav = media.extract_audio(path)
+        except Exception:
+            wav = None
+        if wav is not None and np.size(wav):
+            windows = audio_mod.make_windows(
+                np.asarray(wav, np.float32).reshape(-1), cfg.audio, fps=25.0
+            ).batch
+            pipe.audio.calibrate(windows[:16])
+            n_windows += min(len(windows), 16)
+
+    if n_frames == 0 and n_windows == 0:
         return {"status": "no frames decoded"}
-    prepped, _ = pipe.detect.prepare_batch(np.stack(frames[:32]))
-    pipe.detect.calibrate(prepped)
-    progress(f"calibrated detector act_scales on {len(frames[:32])} frames")
-    return {"status": "ok", "frames": len(frames[:32])}
+    persisted = []
+    det_family = checkpoint.detector_family(cfg.detector.backbone)
+    for stage_vars, fam in (
+        (pipe.detect.variables, det_family),
+        (pipe.visual.static_variables, "emotion_resnet50"),
+        (pipe.audio.variables,
+         "expr_model_8cl" if cfg.audio.num_classes == 8 else "expr_model_7cl"),
+    ):
+        scales = stage_vars.get("act_scales")
+        if scales is not None:
+            checkpoint.save_act_scales(weights_dir, fam, scales)
+            persisted.append(fam)
+    progress(
+        f"calibrated act_scales on {n_frames} frames / {n_crops} crops / "
+        f"{n_windows} audio windows; persisted sidecars: {persisted}"
+    )
+    return {
+        "status": "ok", "frames": n_frames, "crops": n_crops,
+        "audio_windows": n_windows, "persisted": persisted,
+    }
 
 
 def main(argv=None) -> int:

@@ -29,6 +29,10 @@ TORCH_FILES = {
     "emotion_resnet50": "FER_static_ResNet50_AffectNet.pt",
     "temporal_lstm": "FER_dinamic_LSTM_Aff-Wild2.pt",
     "retinaface": "Resnet50_Final.pth",
+    # the reference's mobilenet predictor loads a different checkpoint file
+    # (retina_face_predictor.py:49) — the family must be backbone-qualified
+    # or an r50 cache would satisfy a mobilenet pipeline
+    "retinaface_mnet025": "mobilenet0.25_Final.pth",
     # audio: directory per experiment, epoch file inside
     "expr_model_8cl": os.path.join("FLW-ExprModelV3-2024.03.02-11.42.11", "epoch_63.pth"),
     "expr_model_7cl": os.path.join("7cl-FLW-ExprModelV2-2024.03.04-11.52.11", "epoch_51.pth"),
@@ -56,6 +60,28 @@ def load_converted(weights_dir: str, family: str) -> Optional[dict[str, Any]]:
         return None
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path)
+
+
+def detector_family(backbone: str) -> str:
+    """Cache/torch family for a detector backbone ("retinaface" keeps the
+    historical r50 cache path)."""
+    return "retinaface" if backbone == "resnet50" else "retinaface_mnet025"
+
+
+def save_act_scales(weights_dir: str, family: str, scales: dict[str, Any]) -> None:
+    """Persist calibrated int8 activation scales as a sidecar of the
+    converted-weight cache (``<weights_dir>/jax/<family>_act_scales``) so a
+    representative-corpus calibration (cli/convert_verify --calib_video)
+    survives into every later serving run."""
+    save_converted(weights_dir, family + "_act_scales",
+                   jax.tree.map(np.asarray, scales))
+
+
+def load_act_scales(weights_dir: str, family: str) -> Optional[dict[str, Any]]:
+    try:
+        return load_converted(weights_dir, family + "_act_scales")
+    except Exception:  # corrupt sidecar -> fall back to seeded scales
+        return None
 
 
 def init_variables(module, example_inputs: tuple, seed: int = 0) -> dict[str, Any]:

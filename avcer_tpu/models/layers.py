@@ -287,6 +287,19 @@ class QConv1d(nn.Module):
         return y
 
 
+def merge_act_scales_trees(current: Any, incoming: Any) -> Any:
+    """Elementwise running max of two "act_scales" trees (scales only ever
+    grow — merging a persisted representative-corpus calibration with the
+    stage's seeded/first-batch scales is always safe). Raises on structure
+    mismatch (model changed since the sidecar was written)."""
+    return jax.tree.map(
+        lambda a, b: jnp.maximum(
+            jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)
+        ),
+        current, incoming,
+    )
+
+
 def activation_amax(mod: nn.Module, x: jax.Array):
     """Per-tensor activation max-abs for int8 quantization, held in the
     "act_scales" variable collection.

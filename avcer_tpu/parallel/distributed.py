@@ -62,8 +62,26 @@ def initialize(
         num_processes = int(os.environ["JAX_NUM_PROCESSES"])
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
-    if coordinator_address is None or num_processes is None or process_id is None:
-        return False  # single-process run
+    given = {
+        "coordinator_address": coordinator_address,
+        "num_processes": num_processes,
+        "process_id": process_id,
+    }
+    missing = [k for k, v in given.items() if v is None]
+    if len(missing) == 3:
+        return False  # nothing configured: single-process run
+    if missing:
+        # a PARTIALLY specified multi-process config (e.g. a typo'd env var
+        # on one host) must fail fast — silently falling back to
+        # single-process would train N independent replicas with no
+        # gradient sync and no error
+        raise ValueError(
+            "multi-process config incomplete: "
+            + ", ".join(f"{k}={v!r}" for k, v in given.items())
+            + f" — missing {missing}. Set all three (args or "
+            "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) "
+            "or none."
+        )
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

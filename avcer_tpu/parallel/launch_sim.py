@@ -77,8 +77,13 @@ def worker(process_id: int, num_processes: int, port: int) -> dict:
     )
     model = ExprModel(variant="v3", num_classes=8, wav2vec2_config=w2v2,
                       dtype=jnp.bfloat16)
+    import tempfile
+
     cfg = TrainConfig(batch_size=8, epochs=1, mesh=MeshConfig(data=4, model=2),
-                      optim=OptimConfig(lr=1e-3))
+                      optim=OptimConfig(lr=1e-3),
+                      # per-process scratch dir: the simulation must not
+                      # write trainer logs into the caller's CWD
+                      log_root=tempfile.mkdtemp(prefix="avcer_sim_logs_"))
     trainer = Trainer(model, cfg, mesh=mesh, iters_per_epoch=2,
                       unfreeze_last_n=1, wav2vec2_layers=2)
 

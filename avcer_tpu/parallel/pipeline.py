@@ -128,6 +128,9 @@ def gpipe_apply(
         stage = jax.lax.pcast(
             jax.lax.axis_index("pipe"), "data", to="varying"
         )
+        dshard = jax.lax.pcast(
+            jax.lax.axis_index("data"), "pipe", to="varying"
+        )
         mb = h_local.reshape(n_micro, -1, *h_local.shape[1:])
         # stage 0 consumes real microbatches for the first n_micro ticks,
         # then padding while the tail drains through the later stages
@@ -139,10 +142,17 @@ def gpipe_apply(
             def layer_body(carry, xs):
                 lp, li = xs
                 if use_rng:
-                    # unique dropout stream per (tick, stage, local layer)
+                    # unique dropout stream per (data shard, tick, stage,
+                    # local layer) — without the data-shard fold the same
+                    # row positions of every dp shard would draw identical
+                    # masks (correlated regularization the sequential path
+                    # doesn't have)
                     r = jax.random.fold_in(
                         jax.random.fold_in(
-                            jax.random.fold_in(rng_in, tick), stage
+                            jax.random.fold_in(
+                                jax.random.fold_in(rng_in, dshard), tick
+                            ),
+                            stage,
                         ),
                         li,
                     )

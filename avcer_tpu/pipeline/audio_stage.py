@@ -129,6 +129,24 @@ class AudioStage:
             scales = jax.device_put(scales)
         self.variables = {**self.variables, "act_scales": scales}
 
+    def merge_act_scales(self, scales: dict) -> None:
+        """Adopt persisted calibration scales (checkpoint.load_act_scales):
+        elementwise running max with the current tree."""
+        from avcer_tpu.models.layers import merge_act_scales_trees
+
+        cur = self.variables.get("act_scales")
+        if cur is None:
+            return
+        merged = merge_act_scales_trees(cur, scales)
+        if self.mesh is not None:
+            from avcer_tpu.parallel import mesh as mesh_lib
+
+            merged = jax.device_put(merged, mesh_lib.replicated(self.mesh))
+        else:
+            merged = jax.device_put(merged)
+        self.variables = {**self.variables, "act_scales": merged}
+        self._real_calibrated = True
+
     def _forward_impl(self, variables: dict, windows: jax.Array) -> jax.Array:
         x = audio_ops.feature_extractor_normalize(windows)
         return self.model.apply(variables, x).astype(jnp.float32)

@@ -22,8 +22,9 @@ def build_pipeline(
     w2v2 = wav2vec2_config or Wav2Vec2Config()
     wdir = cfg.weights_dir
 
+    det_family = checkpoint.detector_family(cfg.detector.backbone)
     detect_vars = checkpoint.resolve(
-        wdir, "retinaface", convert.convert_retinaface,
+        wdir, det_family, convert.convert_retinaface,
         RetinaFace(backbone=cfg.detector.backbone),
         (jnp.zeros((1, 64, 64, 3), jnp.float32),),
         backbone=cfg.detector.backbone,
@@ -47,6 +48,23 @@ def build_pipeline(
         variant=cfg.audio.head, num_layers=w2v2.num_layers,
     )
     pipe = Pipeline(cfg, detect_vars, static_vars, lstm_vars, audio_vars, w2v2)
+    # adopt persisted representative-corpus int8 calibration scales
+    # (written by `cli/convert_verify --calib_video`; running-max merge, so
+    # the seeded scales only ever grow)
+    import logging
+
+    log = logging.getLogger("avcer_tpu")
+    for stage, fam in ((pipe.detect, det_family),
+                       (pipe.visual, "emotion_resnet50"),
+                       (pipe.audio, family)):
+        scales = checkpoint.load_act_scales(wdir, fam)
+        if scales is None:
+            continue
+        try:
+            stage.merge_act_scales(scales)
+        except Exception as e:  # model changed since the sidecar was written
+            log.warning("act_scales sidecar for %s incompatible (%s) — "
+                        "ignored", fam, e)
     if cfg.calibrate:
         from avcer_tpu.pipeline.calibrate import calibrate
 

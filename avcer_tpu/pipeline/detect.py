@@ -119,6 +119,24 @@ class DetectStage:
             scales = jax.device_put(scales)
         self.variables = {**self.variables, "act_scales": scales}
 
+    def merge_act_scales(self, scales: dict) -> None:
+        """Adopt persisted calibration scales (checkpoint.load_act_scales):
+        elementwise running max with the current tree."""
+        from avcer_tpu.models.layers import merge_act_scales_trees
+
+        cur = self.variables.get("act_scales")
+        if cur is None:
+            return
+        merged = merge_act_scales_trees(cur, scales)
+        if self.mesh is not None:
+            from avcer_tpu.parallel import mesh as mesh_lib
+
+            merged = jax.device_put(merged, mesh_lib.replicated(self.mesh))
+        else:
+            merged = jax.device_put(merged)
+        self.variables = {**self.variables, "act_scales": merged}
+        self._real_calibrated = True
+
     def _shard_input(self, x: jax.Array | np.ndarray) -> jax.Array:
         if self.mesh is None:
             return jnp.asarray(x)
@@ -274,8 +292,18 @@ class DetectStage:
                     self.variables, jnp.asarray(wire)
                 )
                 with self._calib_lock:
+                    # re-merge against the CURRENT scales under the lock:
+                    # `scales` grew from a snapshot read before the calib
+                    # forward, and a concurrent thread (run_many overlap)
+                    # may have adopted its own growth since — a plain
+                    # overwrite would silently discard it (lost update)
+                    from avcer_tpu.models.layers import merge_act_scales_trees
+
+                    merged = merge_act_scales_trees(
+                        self.variables["act_scales"], scales
+                    )
                     self.variables = {**self.variables,
-                                      "act_scales": jax.device_put(scales)}
+                                      "act_scales": jax.device_put(merged)}
                 g = float(growth)
                 if g > 1.05:
                     log.warning(

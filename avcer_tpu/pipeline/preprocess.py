@@ -175,19 +175,43 @@ def vad_speech_probs(
     harm = np.clip(pitch_band.max(1), 0.0, 1.0)
     lag = (pitch_band.argmax(1) + lag_lo).astype(np.float64)
 
-    # context features (±16 frames ≈ ±0.5 s)
+    # context features (±16 frames ≈ ±0.5 s). The interior (full windows)
+    # is vectorized with sliding windows — the per-frame python loop was
+    # O(n*ctx) host work, tens of seconds on hour-long clips on a 1-core
+    # host; only the 2*ctx boundary frames keep the direct form.
     ctx = 16
+    width = 2 * ctx + 1
     mod = np.zeros(n)
     f0var = np.zeros(n)
     semis = 12.0 * np.log2(lag)
     voiced = harm > 0.5
-    for i in range(n):
+
+    def _ctx_features(i: int) -> None:
         lo, hi = max(0, i - ctx), min(n, i + ctx + 1)
         e = log_e[lo:hi]
         mod[i] = np.percentile(e, 75) - np.percentile(e, 25)
         s = semis[lo:hi][voiced[lo:hi]]
         if s.size >= 3:
             f0var[i] = s.std()
+
+    if n >= width:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        ew = sliding_window_view(log_e, width)          # [n-width+1, width]
+        q25, q75 = np.percentile(ew, (25, 75), axis=1)
+        mod[ctx:n - ctx] = q75 - q25
+        sw = sliding_window_view(semis, width)
+        vw = sliding_window_view(voiced, width)
+        cnt = vw.sum(1)
+        safe = np.maximum(cnt, 1)
+        mean = (sw * vw).sum(1) / safe
+        var = (((sw - mean[:, None]) ** 2) * vw).sum(1) / safe
+        f0var[ctx:n - ctx] = np.where(cnt >= 3, np.sqrt(var), 0.0)
+        edge_idx = list(range(ctx)) + list(range(n - ctx, n))
+    else:
+        edge_idx = list(range(n))
+    for i in edge_idx:
+        _ctx_features(i)
     mod = np.clip(mod / 6.0, 0.0, 1.0)        # 6 dB IQR = full evidence
     f0var = np.clip(f0var / 1.0, 0.0, 1.0)    # 1 semitone std = full
 

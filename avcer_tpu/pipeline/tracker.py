@@ -23,8 +23,12 @@ the rest of the clip (measured: a 25 px face at 7 px/frame has
 inter-detection IoU 0.27 at stride 2). With gap_frames=N > 1:
 
 - a tracklet with an ESTABLISHED velocity (matched at least once) is
-  matched against its last box advanced by that velocity, at the normal
-  threshold;
+  matched against the BETTER of (a) its last box advanced by that
+  velocity, at the normal threshold, and (b) its raw last box, at the
+  relaxed bootstrap threshold — (a) carries a face in steady motion, (b)
+  carries a face that decelerates or stops (extrapolation overshoots
+  there, and a stopped face must not lose the identity a raw-box match
+  trivially keeps);
 - a tracklet with no velocity yet (just created — nothing to extrapolate
   from) is matched at the relaxed threshold iou_threshold/N, which admits
   the IoU loss of an N-frame motion gap so the velocity can bootstrap.
@@ -67,6 +71,17 @@ class IoUTracker:
             1.0 - self.iou_threshold / self.gap_frames, 0.0, 1.0))
         min_area = max(self.minimum_face_size**2, np.finfo(float).eps)
 
+        def iou_dist(bx: np.ndarray, b_area: float, tb: np.ndarray,
+                     t_area: float) -> float:
+            x_left = max(min(bx[0], bx[2]), min(tb[0], tb[2]))
+            y_top = max(min(bx[1], bx[3]), min(tb[1], tb[3]))
+            x_right = min(max(bx[2], bx[0]), max(tb[2], tb[0]))
+            y_bottom = min(max(bx[3], bx[1]), max(tb[3], tb[1]))
+            if x_right <= x_left or y_bottom <= y_top:
+                return 1.0
+            inter = (x_right - x_left) * (y_bottom - y_top)
+            return 1.0 - inter / float(b_area + t_area - inter)
+
         n, m = boxes.shape[0], len(self._tracklets)
         fill = 2.0 * min(n, m) if m else 0.0
         distances = np.full((n, m), fill, dtype=float)
@@ -77,24 +92,23 @@ class IoUTracker:
             for col, t in enumerate(self._tracklets):
                 if self.gap_frames > 1 and t["vel"] is not None:
                     tb = t["bbox"] + t["vel"]
-                    t_area = abs((tb[2] - tb[0]) * (tb[3] - tb[1]))
-                    col_thresh = dist_thresh
+                    cands = [
+                        (iou_dist(bx, areas[row], tb,
+                                  abs((tb[2] - tb[0]) * (tb[3] - tb[1]))),
+                         dist_thresh),
+                        (iou_dist(bx, areas[row], t["bbox"], t["area"]),
+                         boot_thresh),
+                    ]
                 else:
-                    tb = t["bbox"]
-                    t_area = t["area"]
-                    col_thresh = (boot_thresh if self.gap_frames > 1
-                                  else dist_thresh)
-                x_left = max(min(bx[0], bx[2]), min(tb[0], tb[2]))
-                y_top = max(min(bx[1], bx[3]), min(tb[1], tb[3]))
-                x_right = min(max(bx[2], bx[0]), max(tb[2], tb[0]))
-                y_bottom = min(max(bx[3], bx[1]), max(tb[3], tb[1]))
-                if x_right <= x_left or y_bottom <= y_top:
-                    d = 1.0
-                else:
-                    inter = (x_right - x_left) * (y_bottom - y_top)
-                    d = 1.0 - inter / float(areas[row] + t_area - inter)
-                if d <= col_thresh:
-                    distances[row, col] = d
+                    gate = (boot_thresh if self.gap_frames > 1
+                            else dist_thresh)
+                    cands = [
+                        (iou_dist(bx, areas[row], t["bbox"], t["area"]),
+                         gate),
+                    ]
+                passing = [d for d, g in cands if d <= g]
+                if passing:
+                    distances[row, col] = min(passing)
 
         # acceptance must use the same per-tracklet threshold the distance
         # matrix was gated with (boot rows carry d in (dist_thresh,

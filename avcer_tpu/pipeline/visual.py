@@ -174,6 +174,24 @@ class VisualStage:
             scales = jax.device_put(scales)
         self.static_variables = {**self.static_variables, "act_scales": scales}
 
+    def merge_act_scales(self, scales: dict) -> None:
+        """Adopt persisted calibration scales (checkpoint.load_act_scales):
+        elementwise running max with the current tree."""
+        from avcer_tpu.models.layers import merge_act_scales_trees
+
+        cur = self.static_variables.get("act_scales")
+        if cur is None:
+            return
+        merged = merge_act_scales_trees(cur, scales)
+        if self.mesh is not None:
+            from avcer_tpu.parallel import mesh as mesh_lib
+
+            merged = jax.device_put(merged, mesh_lib.replicated(self.mesh))
+        else:
+            merged = jax.device_put(merged)
+        self.static_variables = {**self.static_variables, "act_scales": merged}
+        self._real_calibrated = True
+
     def _shard(self, x) -> jax.Array:
         if self.mesh is None:
             return jnp.asarray(x)

@@ -67,6 +67,33 @@ W2V2_LAYERS = 4  # CPU-tractable stand-in (full 12 layers: same drift mechanism)
 T0 = time.time()
 
 
+def summarize(recs):
+    """Aggregate per-clip drift records into the per-profile summary row —
+    the ONE definition of the summary schema shared by the main study and
+    the extra/resume continuation scripts (a missed lockstep edit would
+    silently mix schemas inside profile_drift.json)."""
+    return {
+        "present_agree": round(float(np.mean(
+            [r["present_agree"] for r in recs])), 4),
+        "box_iou": round(float(np.nanmean(
+            [r["box_iou"] for r in recs])), 4),
+        "static_mad": round(float(np.mean(
+            [r["static"]["mad"] for r in recs])), 5),
+        "dynamic_mad": round(float(np.mean(
+            [r["dynamic"]["mad"] for r in recs])), 5),
+        "audio_mad": round(float(np.mean(
+            [r["audio"]["mad"] for r in recs])), 5),
+        "av_agree": round(float(np.mean(
+            [r["av_agree"] for r in recs])), 4),
+        "vs_agree": round(float(np.mean(
+            [r["vs_agree"] for r in recs])), 4),
+        "vd_agree": round(float(np.mean(
+            [r["vd_agree"] for r in recs])), 4),
+        "a_agree": round(float(np.mean(
+            [r["a_agree"] for r in recs])), 4),
+    }
+
+
 def log(msg: str) -> None:
     print(f"[{(time.time() - T0) / 60:5.1f}m] {msg}", flush=True)
 
@@ -321,26 +348,7 @@ def main() -> None:
     summary = {}
     for p in profiles[1:]:
         recs = results[p]
-        summary[p] = {
-            "present_agree": round(float(np.mean(
-                [r["present_agree"] for r in recs])), 4),
-            "box_iou": round(float(np.nanmean(
-                [r["box_iou"] for r in recs])), 4),
-            "static_mad": round(float(np.mean(
-                [r["static"]["mad"] for r in recs])), 5),
-            "dynamic_mad": round(float(np.mean(
-                [r["dynamic"]["mad"] for r in recs])), 5),
-            "audio_mad": round(float(np.mean(
-                [r["audio"]["mad"] for r in recs])), 5),
-            "av_agree": round(float(np.mean(
-                [r["av_agree"] for r in recs])), 4),
-            "vs_agree": round(float(np.mean(
-                [r["vs_agree"] for r in recs])), 4),
-            "vd_agree": round(float(np.mean(
-                [r["vd_agree"] for r in recs])), 4),
-            "a_agree": round(float(np.mean(
-                [r["a_agree"] for r in recs])), 4),
-        }
+        summary[p] = summarize(recs)
 
     out = {
         "config": {

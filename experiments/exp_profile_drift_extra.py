@@ -56,26 +56,7 @@ def main() -> None:
                 for ref, p, w in zip(parity_runs, clips, wavs)]
         base.log(f"profile {profile}: done")
         doc["per_clip"][profile] = recs
-        doc["summary"][profile] = {
-            "present_agree": round(float(np.mean(
-                [r["present_agree"] for r in recs])), 4),
-            "box_iou": round(float(np.nanmean(
-                [r["box_iou"] for r in recs])), 4),
-            "static_mad": round(float(np.mean(
-                [r["static"]["mad"] for r in recs])), 5),
-            "dynamic_mad": round(float(np.mean(
-                [r["dynamic"]["mad"] for r in recs])), 5),
-            "audio_mad": round(float(np.mean(
-                [r["audio"]["mad"] for r in recs])), 5),
-            "av_agree": round(float(np.mean(
-                [r["av_agree"] for r in recs])), 4),
-            "vs_agree": round(float(np.mean(
-                [r["vs_agree"] for r in recs])), 4),
-            "vd_agree": round(float(np.mean(
-                [r["vd_agree"] for r in recs])), 4),
-            "a_agree": round(float(np.mean(
-                [r["a_agree"] for r in recs])), 4),
-        }
+        doc["summary"][profile] = base.summarize(recs)
         with open(base.OUT, "w") as f:
             json.dump(doc, f, indent=1)
     print(json.dumps({p: doc["summary"][p] for p in extra}, indent=1))

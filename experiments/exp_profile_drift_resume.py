@@ -51,26 +51,7 @@ def main() -> None:
     summary = {}
     for p in profiles[1:]:
         recs = results[p]
-        summary[p] = {
-            "present_agree": round(float(np.mean(
-                [r["present_agree"] for r in recs])), 4),
-            "box_iou": round(float(np.nanmean(
-                [r["box_iou"] for r in recs])), 4),
-            "static_mad": round(float(np.mean(
-                [r["static"]["mad"] for r in recs])), 5),
-            "dynamic_mad": round(float(np.mean(
-                [r["dynamic"]["mad"] for r in recs])), 5),
-            "audio_mad": round(float(np.mean(
-                [r["audio"]["mad"] for r in recs])), 5),
-            "av_agree": round(float(np.mean(
-                [r["av_agree"] for r in recs])), 4),
-            "vs_agree": round(float(np.mean(
-                [r["vs_agree"] for r in recs])), 4),
-            "vd_agree": round(float(np.mean(
-                [r["vd_agree"] for r in recs])), 4),
-            "a_agree": round(float(np.mean(
-                [r["a_agree"] for r in recs])), 4),
-        }
+        summary[p] = base.summarize(recs)
 
     out = {
         "config": {

@@ -181,3 +181,102 @@ def test_golden_e2e_on_fake_release(tmp_path):
     assert rep["status"] == "ok", rep
     assert any(a.startswith("static__") for a in rep["artifacts"])
     assert any(a.startswith("audio") for a in rep["artifacts"])
+
+
+def test_act_scales_sidecar_roundtrip_and_merge(tmp_path):
+    """save/load_act_scales persists a scales tree next to the converted
+    cache; merge_act_scales_trees is an elementwise running max."""
+    import numpy as np
+
+    from avcer_tpu.models.layers import merge_act_scales_trees
+
+    tree = {"backbone": {"conv1": {"amax": np.float32(3.5)},
+                         "conv2": {"amax": np.float32(0.25)}}}
+    checkpoint.save_act_scales(str(tmp_path), "retinaface", tree)
+    loaded = checkpoint.load_act_scales(str(tmp_path), "retinaface")
+    assert loaded is not None
+    assert float(loaded["backbone"]["conv1"]["amax"]) == pytest.approx(3.5)
+    # missing sidecar -> None
+    assert checkpoint.load_act_scales(str(tmp_path), "emotion_resnet50") is None
+    current = {"backbone": {"conv1": {"amax": np.float32(1.0)},
+                            "conv2": {"amax": np.float32(2.0)}}}
+    merged = merge_act_scales_trees(current, loaded)
+    assert float(merged["backbone"]["conv1"]["amax"]) == pytest.approx(3.5)
+    assert float(merged["backbone"]["conv2"]["amax"]) == pytest.approx(2.0)
+
+
+def test_detector_family_is_backbone_qualified():
+    """An r50 cache must never satisfy a mobilenet pipeline: the cache/torch
+    family is qualified by backbone (reference loads different checkpoint
+    files — retina_face_predictor.py:44-49)."""
+    assert checkpoint.detector_family("resnet50") == "retinaface"
+    fam = checkpoint.detector_family("mobilenet0.25")
+    assert fam != "retinaface"
+    assert checkpoint.TORCH_FILES[fam] == "mobilenet0.25_Final.pth"
+
+
+@pytest.mark.slow
+def test_run_calibration_persists_and_serving_adopts(tmp_path):
+    """--calib_video end to end: calibration on a representative clip writes
+    act_scales sidecars into the weights cache, and a LATER serving build
+    with the same weights_dir adopts them (the round-2 product-path gap)."""
+    import cv2
+    import numpy as np
+
+    from avcer_tpu.core.config import (AudioConfig, DetectorConfig,
+                                       PipelineConfig, VisualConfig)
+    from avcer_tpu.models.wav2vec2 import Wav2Vec2Config
+    from avcer_tpu.pipeline.builder import build_pipeline
+    from avcer_tpu.pipeline.media import write_wav
+
+    wdir = str(tmp_path / "weights")
+    os.makedirs(wdir)
+    video = str(tmp_path / "calib.avi")
+    rng = np.random.default_rng(0)
+    vw = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"), 25, (64, 64))
+    assert vw.isOpened()
+    for _ in range(8):
+        vw.write(rng.integers(0, 255, (64, 64, 3), np.uint8))
+    vw.release()
+    write_wav(str(tmp_path / "calib.wav"),
+              rng.normal(size=16_000).astype(np.float32) * 0.1, 16_000)
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(batch_size=8, long_side=64),
+        visual=VisualConfig(batch_size=8),
+        audio=AudioConfig(batch_size=4),
+        weights_dir=wdir, save_plot=False,
+    )
+    tiny_w2v2 = Wav2Vec2Config(
+        hidden_size=64, num_layers=2, num_heads=4, intermediate_size=128,
+        conv_dim=(16,) * 7,
+    )
+    rep = convert_verify.run_calibration(
+        wdir, [video], base_cfg=cfg, wav2vec2_config=tiny_w2v2,
+        progress=lambda *_: None,
+    )
+    assert rep["status"] == "ok", rep
+    assert rep["frames"] > 0 and rep["audio_windows"] > 0
+    assert "retinaface" in rep["persisted"]
+    assert "emotion_resnet50" in rep["persisted"]
+    assert "expr_model_8cl" in rep["persisted"]
+
+    # a later int8 serving build adopts the persisted scales
+    import dataclasses
+
+    cfg2 = dataclasses.replace(
+        cfg,
+        detector=dataclasses.replace(cfg.detector, quant="int8"),
+        visual=dataclasses.replace(cfg.visual, quant="int8"),
+        audio=dataclasses.replace(cfg.audio, quant="int8"),
+    )
+    pipe2 = build_pipeline(cfg2, wav2vec2_config=tiny_w2v2)
+    assert pipe2.detect._real_calibrated
+    assert pipe2.visual._real_calibrated
+    assert pipe2.audio._real_calibrated
+    saved = checkpoint.load_act_scales(wdir, "retinaface")
+    import jax
+
+    for s, cur in zip(jax.tree.leaves(saved),
+                      jax.tree.leaves(pipe2.detect.variables["act_scales"])):
+        assert float(cur) >= float(s) - 1e-6

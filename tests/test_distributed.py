@@ -80,7 +80,7 @@ def test_global_batch_single_process_passthrough():
     assert arr.sharding.spec == jax.sharding.PartitionSpec("data")
 
 
-def test_fp32_master_weights_under_bf16_compute():
+def test_fp32_master_weights_under_bf16_compute(tmp_path):
     """Training contract: compute runs bf16 (model dtype) but the master
     params AND the Adam moments live in fp32 — flax param_dtype default
     plus optax init from fp32 params (the scale story ROADMAP r2 #4 asked
@@ -98,7 +98,7 @@ def test_fp32_master_weights_under_bf16_compute():
     model = ExprModel(variant="v3", num_classes=8, wav2vec2_config=w2v2,
                       dtype=jnp.bfloat16)
     cfg = TrainConfig(batch_size=4, mesh=MeshConfig(data=4, model=2),
-                      optim=OptimConfig(lr=1e-3))
+                      optim=OptimConfig(lr=1e-3), log_root=str(tmp_path))
     trainer = Trainer(model, cfg, iters_per_epoch=2, unfreeze_last_n=1,
                       wav2vec2_layers=2)
     x = np.zeros((1, 17600), np.float32)
@@ -123,6 +123,20 @@ def test_initialize_noop_without_config(monkeypatch):
                 "JAX_PROCESS_ID"):
         monkeypatch.delenv(var, raising=False)
     assert distributed.initialize() is False
+
+
+def test_initialize_raises_on_partial_config(monkeypatch):
+    """A partially specified multi-process config (typo'd env var on one
+    host) must fail fast — a silent single-process fallback would train N
+    independent replicas with no gradient sync and no error."""
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+    with pytest.raises(ValueError, match="incomplete"):
+        distributed.initialize(num_processes=4, process_id=1)
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    with pytest.raises(ValueError, match="incomplete"):
+        distributed.initialize()
 
 
 @pytest.mark.slow

@@ -145,6 +145,24 @@ def test_tracker_gap_mode_keeps_identity_across_stride_gaps():
     assert ids2 == [1] * 8
 
 
+def test_tracker_gap_mode_survives_deceleration_and_stop():
+    """A velocity-established tracklet whose face stops must keep its id:
+    the extrapolated box overshoots (IoU 0.28 < 0.4 for the 25 px box
+    moving 14 px/observation), but the raw last box matches trivially —
+    gap mode takes the better of the two."""
+    tr = IoUTracker(iou_threshold=0.4, gap_frames=2)
+    moving = _fast_small_face_track(14.0)[:3]
+    ids = [tr(b)[0] for b in moving]
+    assert ids == [1, 1, 1]  # velocity established
+    stopped = moving[-1]
+    for _ in range(4):  # the face stops dead
+        assert tr(stopped)[0] == 1
+    # and resumes motion (velocity re-zeroed by the stop, bootstrap-like
+    # raw-box relaxation carries the first gap again)
+    resumed = stopped + np.array([[14.0, 0, 14.0, 0, 0]])
+    assert tr(resumed)[0] == 1
+
+
 def test_tracker_gap_one_is_reference_exact():
     """gap_frames=1 must be byte-identical to the default tracker on a
     jittery multi-face sequence (the stride-1 parity contract)."""

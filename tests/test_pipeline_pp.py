@@ -128,14 +128,15 @@ def test_dropout_path_runs():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_trainer_pipe_matches_plain():
+def test_trainer_pipe_matches_plain(tmp_path):
     """Trainer with mesh.pipe=2: the stacked leaves really shard over
     'pipe', the deterministic forward (eval/features) matches the plain dp
     trainer bit-for-tolerance on identical init params, and a train step
     honors the per-layer freeze policy on the stacked layout. (Train-mode
     loss/grads can't be compared step-for-step against the plain trainer —
-    dropout streams differ by construction, per-tick/stage/layer fold_in;
-    deterministic grad equivalence is pinned by test_grad_equivalence.)"""
+    dropout streams differ by construction, per-shard/tick/stage/layer
+    fold_in; deterministic grad equivalence is pinned by
+    test_grad_equivalence.)"""
     from avcer_tpu.core.config import MeshConfig, OptimConfig, TrainConfig
     from avcer_tpu.train.trainer import Trainer
 
@@ -147,7 +148,8 @@ def test_trainer_pipe_matches_plain():
 
     def build(mesh_cfg):
         cfg = TrainConfig(batch_size=8, mesh=mesh_cfg,
-                          optim=OptimConfig(lr=1e-3))
+                          optim=OptimConfig(lr=1e-3),
+                          log_root=str(tmp_path))
         tr = Trainer(model, cfg, iters_per_epoch=2, unfreeze_last_n=2,
                      wav2vec2_layers=TINY.num_layers)
         return tr, tr.init_state(x)
@@ -211,3 +213,35 @@ def test_bad_configs_raise():
 
     with pytest.raises(ValueError, match="pipe"):
         pp.gpipe_apply(mesh_lib.make_mesh(4, 2), layer, stacked, h, 2)
+
+
+def test_dropout_differs_across_data_shards():
+    """Rows at the same local position in different dp shards must draw
+    DIFFERENT dropout masks inside the pipelined layers (the rng folds in
+    the data-shard index); with identical per-row inputs, correlated masks
+    make shard outputs identical — regularization the sequential path
+    doesn't have. Tests gpipe_apply directly: the pre-layer feature
+    projection has its own full-batch dropout that would mask the bug at
+    the logits level."""
+    from avcer_tpu.models.wav2vec2 import EncoderLayerStableLN, Wav2Vec2Encoder
+
+    enc = Wav2Vec2Encoder(TINY, dtype=jnp.float32)
+    wav = jax.random.normal(jax.random.PRNGKey(1), (1, 17600))
+    variables = enc.init(jax.random.PRNGKey(0), wav)
+    layer_mod = EncoderLayerStableLN(TINY, dtype=jnp.float32)
+    stacked = pp.stack_layers(variables["params"], TINY.num_layers)
+    frames = 52
+    h1 = jax.random.normal(jax.random.PRNGKey(2), (1, frames, TINY.hidden_size))
+    h = jnp.broadcast_to(h1, (4, frames, TINY.hidden_size))  # identical rows
+    mesh = pp.make_mesh_dp_pp(data=2, pipe=2)
+    det = pp.gpipe_apply(mesh, layer_mod, stacked, h, 2, True, None)
+    d = np.asarray(det)
+    # sanity: identical inputs -> identical deterministic outputs (row 0 in
+    # shard 0 vs row 2 at the same local position in shard 1)
+    np.testing.assert_allclose(d[0], d[2], rtol=1e-5, atol=1e-6)
+    out = pp.gpipe_apply(
+        mesh, layer_mod, stacked, h, 2, False, jax.random.PRNGKey(7)
+    )
+    a = np.asarray(out)
+    assert np.isfinite(a).all()
+    assert not np.allclose(a[0], a[2], rtol=1e-4, atol=1e-5)

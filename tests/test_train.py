@@ -145,7 +145,7 @@ def test_ccc():
 
 
 @pytest.mark.slow
-def test_trainer_smoke_sharded(rng):
+def test_trainer_smoke_sharded(rng, tmp_path):
     from avcer_tpu.core.config import MeshConfig, OptimConfig, TrainConfig
     from avcer_tpu.models.audio_heads import ExprModel
     from avcer_tpu.models.wav2vec2 import Wav2Vec2Config
@@ -160,7 +160,7 @@ def test_trainer_smoke_sharded(rng):
                       dtype=jnp.float32)
     cfg = TrainConfig(
         batch_size=8, epochs=1, mesh=MeshConfig(data=4, model=2),
-        optim=OptimConfig(lr=1e-3),
+        optim=OptimConfig(lr=1e-3), log_root=str(tmp_path),
     )
     trainer = Trainer(model, cfg, iters_per_epoch=2, unfreeze_last_n=1,
                       wav2vec2_layers=2)
@@ -226,7 +226,7 @@ def test_ccc_and_mse_losses(rng):
 
 
 @pytest.mark.slow
-def test_trainer_regression_mode(rng):
+def test_trainer_regression_mode(rng, tmp_path):
     """VA-task regression: CCC loss + CCC metrics (net_trainer regression
     mode)."""
     from avcer_tpu.core.config import MeshConfig, OptimConfig, TrainConfig
@@ -241,7 +241,7 @@ def test_trainer_regression_mode(rng):
     model = Reg(2, dtype=jnp.float32)  # 2 outputs: valence, arousal
     cfg = TrainConfig(num_classes=2, batch_size=8, loss="ccc",
                       problem="regression", mesh=MeshConfig(data=1),
-                      optim=OptimConfig(lr=1e-3))
+                      optim=OptimConfig(lr=1e-3), log_root=str(tmp_path))
     tr = Trainer(model, cfg, iters_per_epoch=2, unfreeze_last_n=0,
                  wav2vec2_layers=0)
     x = rng.normal(size=(8, 10, 512)).astype(np.float32)
