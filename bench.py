@@ -99,7 +99,9 @@ def _preflight_device(timeout_s: float = 240.0) -> None:
     import subprocess
 
     probe = (
-        "import jax, jax.numpy as jnp;"
+        "import os, jax, jax.numpy as jnp;"
+        "p = os.environ.get('AVCER_PLATFORM');"
+        "p and jax.config.update('jax_platforms', p);"
         "d = jax.devices();"
         "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready();"
         "print(d[0].platform)"
@@ -130,6 +132,14 @@ def main() -> None:
     import logging
 
     logging.getLogger("avcer_tpu").setLevel(logging.ERROR)
+
+    # AVCER_PLATFORM=cpu lets the bench logic be exercised without the TPU
+    # relay (numbers are then CPU numbers — for plumbing tests only)
+    plat = os.environ.get("AVCER_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
     _preflight_device()
 
@@ -235,7 +245,9 @@ def main() -> None:
 
         def time_slope(fn, n1=3, n2=15):
             """Per-dispatch seconds via the fetch-barrier slope (cancels the
-            constant fetch latency of the relay link)."""
+            constant fetch latency of the relay link). Only valid for
+            programs >= ~5 ms/dispatch (BENCH_NOTES round-4: relay jitter
+            dominates sub-ms slopes); smaller programs use time_inloop."""
             barrier(fn())
             t0 = time.perf_counter()
             out = None
@@ -249,6 +261,30 @@ def main() -> None:
             barrier(out)
             tb = time.perf_counter() - t0
             return (tb - ta) / (n2 - n1)
+
+        def time_inloop(step, iters):
+            """Per-call seconds via ONE dispatch of a jitted fori_loop that
+            executes the program ``iters`` times on device (the trustworthy
+            method for sub-5 ms programs on this relay — BENCH_NOTES
+            round-4, experiments/exp_r4b_device.py). ``step(i)`` must
+            consume the loop index (anti-LICM); its outputs are reduced to
+            a scalar (anti-DCE)."""
+
+            def body(i, acc):
+                y = step(i)
+                return acc + sum(
+                    l.astype(jnp.float32).sum() for l in jax.tree.leaves(y)
+                ) * jnp.float32(1e-12)
+
+            run = jax.jit(
+                lambda: jax.lax.fori_loop(
+                    0, iters, body, jnp.zeros((), jnp.float32)
+                )
+            )
+            np.asarray(run())  # compile + warm
+            t0 = time.perf_counter()
+            np.asarray(run())
+            return (time.perf_counter() - t0) / iters
 
         inner = pipe.detect.inner
         frames = np.random.default_rng(1).integers(
@@ -270,12 +306,15 @@ def main() -> None:
         # PARITY.md): r50@640 exact = reference-parity; int8 = calibrated
         # quantized path; mobilenet0.25 = the reference's own fast backbone
         detect_ms = {}
-        for name, backbone, bucket, quant, dvars in (
-            ("r50_640", "resnet50", 640, "none", inner.variables),
-            ("r50_448", "resnet50", 448, "none", inner.variables),
-            ("r50_640_int8", "resnet50", 640, "int8", inner.variables),
-            ("mnet_640_int8", "mobilenet0.25", 640, "int8", mnet_vars),
-            ("mnet_448_int8", "mobilenet0.25", 448, "int8", mnet_vars),
+        # inloop_iters None -> slope timing (program >= ~5 ms/dispatch);
+        # otherwise in-program fori_loop repetitions (sub-5 ms programs)
+        for name, backbone, bucket, quant, dvars, inloop_iters in (
+            ("r50_640", "resnet50", 640, "none", inner.variables, None),
+            ("r50_448", "resnet50", 448, "none", inner.variables, None),
+            ("r50_640_int8", "resnet50", 640, "int8", inner.variables, None),
+            ("r50_448_int8", "resnet50", 448, "int8", inner.variables, 150),
+            ("mnet_640_int8", "mobilenet0.25", 640, "int8", mnet_vars, 200),
+            ("mnet_448_int8", "mobilenet0.25", 448, "int8", mnet_vars, 400),
         ):
             stage = (
                 inner
@@ -292,11 +331,18 @@ def main() -> None:
             wire_np, _s = stage.prepare_wire(frames)
             wire = jnp.asarray(wire_np)
             jax.block_until_ready(wire)
-            # small programs (mnet@448 ~1 ms/dispatch) need wide slope
-            # windows to rise above relay jitter
-            sec = time_slope(
-                lambda: stage._jit_forward(stage.variables, wire), n1=8, n2=40
-            )
+            if inloop_iters:
+                sec = time_inloop(
+                    lambda i, s=stage, w=wire: s._jit_forward(
+                        s.variables, w + (i % 2).astype(w.dtype)
+                    ),
+                    inloop_iters,
+                )
+            else:
+                sec = time_slope(
+                    lambda s=stage, w=wire: s._jit_forward(s.variables, w),
+                    n1=8, n2=40,
+                )
             detect_ms[name] = sec / 32 * 1e3
         per_frame_detect = detect_ms["r50_640"] / 1e3
         # crop-CNN on device-resident frames at the configured batch size
@@ -376,9 +422,14 @@ def main() -> None:
         )
         feats60 = aq._jit_shared_features(aq.variables, wav60, wl60)
         jax.block_until_ready(feats60)
-        sec_head = time_slope(
-            lambda: aq._jit_from_features(aq.variables, feats60, starts),
-            n1=4, n2=20,
+        # head per 16-window dispatch is ~1-2 ms -> in-loop timing
+        sec_head = time_inloop(
+            lambda i, f=feats60: aq._jit_from_features(
+                aq.variables,
+                f * (1.0 + i.astype(f.dtype) * jnp.asarray(1e-7, f.dtype)),
+                starts,
+            ),
+            300,
         )
         per_window_audio_turbo = sec_shared / n_win60 + sec_head / 16
         fps = 25.0
@@ -409,6 +460,8 @@ def main() -> None:
             # is detector recall below ~48 px native faces only (PARITY.md
             # bucket table); every model output else bit-matches parity
             "balanced_r50_448": vss(detect_ms["r50_448"], 1),
+            # balanced bucket + calibrated int8 (both tradeoffs drift-gated)
+            "int8_r50_448": vss(detect_ms["r50_448_int8"], 1, ci, ai),
             "int8_r50_640": vss(detect_ms["r50_640_int8"], 1, ci, ai),
             "int8_r50_640_s2": vss(detect_ms["r50_640_int8"], 2, ci, ai),
             "fast_mnet_640_int8": vss(detect_ms["mnet_640_int8"], 1, ci, ai),
