@@ -76,6 +76,11 @@ class DetectorConfig:
     #: the 640 bucket (XLA's own stem lowering already wins there); kept as an
     #: option for other generations/buckets.
     s2d_stem: bool | str = False
+    #: resnet50 layer1 as ONE fused Pallas program keeping all bottleneck
+    #: intermediates in VMEM (ops/pallas/fused_resnet_kernel.py) — layer1 is
+    #: the detector's HBM-bound worst section (~8% MFU, BENCH_NOTES round-4).
+    #: Exact math over the same checkpoint tree; bf16 non-quant path only.
+    fused_layer1: bool = False
 
 
 @dataclass(frozen=True)

@@ -70,6 +70,79 @@ class ConvBN(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+class _DeclConvKernel(nn.Module):
+    """Declares the same 'kernel' param an (un-called) nn.Conv would —
+    lets TVBottleneck's fold mode materialize an identical parameter tree
+    (same names, shapes, and path-derived init) without running the convs."""
+
+    shape: tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self) -> jax.Array:
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
+        )
+
+
+class _DeclBN(nn.Module):
+    """TorchBatchNorm's parameter/stat tree without the compute."""
+
+    @nn.compact
+    def __call__(self, features: int):
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+        return scale, bias, mean.value, var.value
+
+
+class TVBottleneckFolded(nn.Module):
+    """Inference-folded weights of a TVBottleneck, for the fused Pallas
+    layer1 kernel (ops/pallas/fused_resnet_kernel.py).
+
+    Declares the SAME parameter tree as TVBottleneck — same child names,
+    shapes, and path-derived init RNGs — so converted reference checkpoints
+    and random inits are unaffected by which path runs; instead of
+    computing, it returns per conv a matmul-shaped kernel plus the BN
+    scale/shift fold y = conv(x)*inv + shift, numerically identical to
+    conv -> TorchBatchNorm(inference)."""
+
+    planes: int
+    downsample: bool = False
+    dtype: Dtype = jnp.float32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        def conv_k(name: str, k: int, cin: int, cout: int) -> jax.Array:
+            w = _DeclConvKernel((k, k, cin, cout), name=name)()
+            return (w[0, 0] if k == 1 else w).astype(self.dtype)
+
+        def bn_fold(name: str, cout: int):
+            scale, bias, mean, var = _DeclBN(name=name)(cout)
+            inv = scale * jax.lax.rsqrt(var + self.eps)
+            shift = bias - mean * inv
+            return (inv.reshape(1, -1).astype(self.dtype),
+                    shift.reshape(1, -1).astype(self.dtype))
+
+        p = self.planes
+        out = [
+            (conv_k("conv1", 1, in_ch, p), *bn_fold("bn1", p)),
+            (conv_k("conv2", 3, p, p), *bn_fold("bn2", p)),
+            (conv_k("conv3", 1, p, p * 4), *bn_fold("bn3", p * 4)),
+        ]
+        if self.downsample:
+            out.append(
+                (conv_k("downsample_conv", 1, in_ch, p * 4),
+                 *bn_fold("downsample_bn", p * 4))
+            )
+        return out
+
+
 class TVBottleneck(nn.Module):
     """torchvision Bottleneck: stride on the 3x3 conv (v1.5), BN eps 1e-5."""
 
@@ -162,6 +235,10 @@ class ResNet50Backbone(nn.Module):
     dtype: Dtype = jnp.float32
     s2d_stem: bool = False
     quant: bool = False
+    #: run layer1 (the worst-MFU, HBM-bound section) as one fused Pallas
+    #: program — ops/pallas/fused_resnet_kernel.py. Inference-only exact
+    #: reformulation over the SAME parameter tree; bf16 path only.
+    fused_layer1: bool = False
 
     @nn.compact
     def __call__(
@@ -179,10 +256,27 @@ class ResNet50Backbone(nn.Module):
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         outs = []
         in_ch = 64
+        use_fused = self.fused_layer1 and not train and not self.quant
         for li, (blocks, planes) in enumerate(
             zip((3, 4, 6, 3), (64, 128, 256, 512))
         ):
             stride = 1 if li == 0 else 2
+            if li == 0 and use_fused:
+                from avcer_tpu.ops.pallas.fused_resnet_kernel import fused_layer1
+
+                folded: list = []
+                for bi in range(blocks):
+                    folded += TVBottleneckFolded(
+                        planes, downsample=bi == 0, dtype=self.dtype,
+                        name=f"layer1_{bi}",
+                    )(in_ch if bi == 0 else planes * 4)
+                flat = tuple(t for triple in folded for t in triple)
+                h = fused_layer1(
+                    h.astype(self.dtype), flat,
+                    interpret=jax.default_backend() == "cpu",
+                )
+                in_ch = planes * 4
+                continue
             for bi in range(blocks):
                 s = stride if bi == 0 else 1
                 ds = bi == 0 and (s != 1 or in_ch != planes * 4)
@@ -323,6 +417,9 @@ class RetinaFace(nn.Module):
     #: exact space-to-depth stem reformulation (see StemConv) — same params,
     #: same math, MXU-friendly layout; inference-speed option.
     s2d_stem: bool = False
+    #: resnet50 layer1 as one fused Pallas program (same checkpoint tree,
+    #: inference-only — ResNet50Backbone.fused_layer1).
+    fused_layer1: bool = False
     #: dynamically-quantized int8 serving path (layers.int8_conv): backbone +
     #: FPN + SSH convs run int8 on the MXU (~1.85x conv speedup on v5e);
     #: heads stay bf16 for box-regression precision. Same checkpoint tree as
@@ -334,7 +431,7 @@ class RetinaFace(nn.Module):
         if self.backbone == "resnet50":
             feats = ResNet50Backbone(
                 dtype=self.dtype, s2d_stem=self.s2d_stem, quant=self.quant,
-                name="body",
+                fused_layer1=self.fused_layer1, name="body",
             )(x, train)
             out_ch = 256
         elif self.backbone == "mobilenet0.25":

@@ -63,6 +63,7 @@ class DetectStage:
         self.model = RetinaFace(
             backbone=cfg.backbone, dtype=dtype, s2d_stem=bool(s2d),
             quant=cfg.quant == "int8",
+            fused_layer1=bool(cfg.fused_layer1) and cfg.quant != "int8",
         )
         self.mesh = mesh
         if mesh is not None:

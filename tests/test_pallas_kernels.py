@@ -24,6 +24,63 @@ def test_pallas_nms_matches_xla(rng):
     np.testing.assert_array_equal(got, want)
 
 
+def _layer1_backbones(dtype):
+    from avcer_tpu.models.retinaface import ResNet50Backbone
+
+    exact = ResNet50Backbone(dtype=dtype)
+    fused = ResNet50Backbone(dtype=dtype, fused_layer1=True)
+    return exact, fused
+
+
+def test_fused_layer1_matches_xla(rng):
+    """The fused Pallas layer1 program (interpret mode) reproduces the
+    unfused bottleneck chain over the SAME variable tree, including the
+    non-divisible band-height path (h=13 with band 8 -> padded tail)."""
+    from avcer_tpu.ops.pallas import fused_resnet_kernel as frk
+
+    exact, fused = _layer1_backbones(jnp.float32)
+    for hw in ((2, 32, 48, 3), (1, 52, 40, 3)):
+        x = jnp.asarray(rng.normal(size=hw).astype(np.float32))
+        variables = exact.init(jax.random.PRNGKey(0), x)
+        want = exact.apply(variables, x)
+        orig = frk._pick_band
+        try:
+            frk._pick_band = lambda h, cap=32: min(h, 8)  # force multi-band
+            got = fused.apply(variables, x)
+        finally:
+            frk._pick_band = orig
+        for w_, g_ in zip(want, got):
+            np.testing.assert_allclose(
+                np.asarray(g_), np.asarray(w_), atol=2e-4, rtol=1e-3
+            )
+
+
+def test_fused_layer1_bf16_close(rng):
+    """bf16 serving dtype: same rounding points as the unfused path —
+    outputs agree to bf16 resolution."""
+    exact, fused = _layer1_backbones(jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    variables = exact.init(jax.random.PRNGKey(1), x)
+    want = np.asarray(exact.apply(variables, x)[0], np.float32)
+    got = np.asarray(fused.apply(variables, x)[0], np.float32)
+    scale = max(np.abs(want).max(), 1.0)
+    assert np.abs(got - want).max() / scale < 0.05
+
+
+def test_fused_layer1_same_init_tree(rng):
+    """fused_layer1=True declares the identical parameter/stat tree (same
+    names, shapes, AND init values — init RNGs are path-derived)."""
+    exact, fused = _layer1_backbones(jnp.float32)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    va = exact.init(jax.random.PRNGKey(7), x)
+    vb = fused.init(jax.random.PRNGKey(7), x)
+    la, lb = jax.tree_util.tree_leaves_with_path(va), \
+        jax.tree_util.tree_leaves_with_path(vb)
+    assert [p for p, _ in la] == [p for p, _ in lb]
+    for (_, a), (_, b) in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pallas_mha_matches_xla(rng):
     from avcer_tpu.models.layers import scaled_dot_attention
     from avcer_tpu.ops.pallas.attention_kernel import pallas_mha
