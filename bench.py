@@ -308,42 +308,54 @@ def main() -> None:
         detect_ms = {}
         # inloop_iters None -> slope timing (program >= ~5 ms/dispatch);
         # otherwise in-program fori_loop repetitions (sub-5 ms programs)
-        for name, backbone, bucket, quant, dvars, inloop_iters in (
-            ("r50_640", "resnet50", 640, "none", inner.variables, None),
-            ("r50_448", "resnet50", 448, "none", inner.variables, None),
-            ("r50_640_int8", "resnet50", 640, "int8", inner.variables, None),
-            ("r50_448_int8", "resnet50", 448, "int8", inner.variables, 150),
-            ("mnet_640_int8", "mobilenet0.25", 640, "int8", mnet_vars, 200),
-            ("mnet_448_int8", "mobilenet0.25", 448, "int8", mnet_vars, 400),
+        for name, backbone, bucket, quant, dvars, inloop_iters, extra in (
+            ("r50_640", "resnet50", 640, "none", inner.variables, None, {}),
+            # exact math, layer1 as the fused Pallas program
+            # (ops/pallas/fused_resnet_kernel.py)
+            ("r50_640_fused", "resnet50", 640, "none", inner.variables, None,
+             {"fused_layer1": True}),
+            ("r50_448", "resnet50", 448, "none", inner.variables, None, {}),
+            ("r50_640_int8", "resnet50", 640, "int8", inner.variables, None,
+             {}),
+            ("r50_448_int8", "resnet50", 448, "int8", inner.variables, 150,
+             {}),
+            ("mnet_640_int8", "mobilenet0.25", 640, "int8", mnet_vars, 200,
+             {}),
+            ("mnet_448_int8", "mobilenet0.25", 448, "int8", mnet_vars, 400,
+             {}),
         ):
             stage = (
                 inner
-                if (backbone, bucket, quant) == (
+                if (backbone, bucket, quant, extra) == (
                     cfg.detector.backbone, cfg.detector.long_side,
-                    cfg.detector.quant,
+                    cfg.detector.quant, {},
                 )
                 else DetectStage(
                     _DC(long_side=bucket, batch_size=32, backbone=backbone,
-                        quant=quant),
+                        quant=quant, **extra),
                     dvars,
                 )
             )
-            wire_np, _s = stage.prepare_wire(frames)
-            wire = jnp.asarray(wire_np)
-            jax.block_until_ready(wire)
-            if inloop_iters:
-                sec = time_inloop(
-                    lambda i, s=stage, w=wire: s._jit_forward(
-                        s.variables, w + (i % 2).astype(w.dtype)
-                    ),
-                    inloop_iters,
-                )
-            else:
-                sec = time_slope(
-                    lambda s=stage, w=wire: s._jit_forward(s.variables, w),
-                    n1=8, n2=40,
-                )
-            detect_ms[name] = sec / 32 * 1e3
+            try:
+                wire_np, _s = stage.prepare_wire(frames)
+                wire = jnp.asarray(wire_np)
+                jax.block_until_ready(wire)
+                if inloop_iters:
+                    sec = time_inloop(
+                        lambda i, s=stage, w=wire: s._jit_forward(
+                            s.variables, w + (i % 2).astype(w.dtype)
+                        ),
+                        inloop_iters,
+                    )
+                else:
+                    sec = time_slope(
+                        lambda s=stage, w=wire: s._jit_forward(s.variables, w),
+                        n1=8, n2=40,
+                    )
+                detect_ms[name] = sec / 32 * 1e3
+            except Exception as e:  # one failed variant must not kill the rest
+                print(json.dumps({f"detect_{name}_error": str(e)[:200]}),
+                      file=sys.stderr)
         per_frame_detect = detect_ms["r50_640"] / 1e3
         # crop-CNN on device-resident frames at the configured batch size
         # (256 = calibrated optimum) + sweep for reference
@@ -456,6 +468,11 @@ def main() -> None:
         at = per_window_audio_turbo
         profiles = {
             "parity_r50_640": vss(detect_ms["r50_640"], 1),
+            **({
+                # exact math with layer1 as the fused Pallas program —
+                # parity-quality (same checkpoint tree, same rounding points)
+                "parity_r50_640_fused": vss(detect_ms["r50_640_fused"], 1),
+            } if "r50_640_fused" in detect_ms else {}),
             # exact math + weights at the 448 letterbox bucket: quality cost
             # is detector recall below ~48 px native faces only (PARITY.md
             # bucket table); every model output else bit-matches parity
