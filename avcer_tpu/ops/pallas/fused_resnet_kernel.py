@@ -132,9 +132,16 @@ def _kernel(xp_hbm, *refs, th: int, h: int, w: int):
 
 
 def _pick_band(h: int, cap: int = 32) -> int:
-    """Largest band height <= cap; bands may overhang a non-divisible h
-    (the caller pads the input and slices the output)."""
-    return min(h, cap)
+    """Band height <= cap, preferring an exact divisor of h (a divisor
+    avoids computing padded junk rows in the last band: the 640x360 bucket's
+    h=90 gets 3 bands of 30 instead of 32+32+26-with-6-junk-rows). Falls
+    back to cap with pad-and-slice when no near divisor exists."""
+    if h <= cap:
+        return h
+    for th in range(cap, max(cap - 16, 1), -1):
+        if h % th == 0:
+            return th
+    return cap
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "band"))
