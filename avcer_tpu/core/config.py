@@ -266,8 +266,8 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
                         "2); boxes interpolated between detections, CNN "
                         "still runs every frame")
     p.add_argument("--serving_profile",
-                   choices=["parity", "balanced", "int8", "int8_s2", "fast",
-                            "turbo"],
+                   choices=["parity", "balanced", "int8", "int8_s2",
+                            "int8_448", "fast", "turbo"],
                    default="parity",
                    help="measured speed/quality presets (BENCH_NOTES.md "
                         "round-4 table): parity = reference-exact r50@640 "
@@ -277,7 +277,9 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
                         "models, calibrated int8 convs; int8_s2 = int8 + "
                         "detect stride 2 with the gap-mode tracker (full "
                         "640 bucket, ~93 v-s/s at 0.992 AV agreement — "
-                        "PARITY.md frontier); fast = int8 + the "
+                        "PARITY.md frontier); int8_448 = int8 at the 448 "
+                        "bucket, per-frame detection (0.992 AV agreement); "
+                        "fast = int8 + the "
                         "reference's mobilenet0.25 backbone; turbo = fast "
                         "+ 448 bucket + detect stride 2 + shared audio "
                         "extractor. Explicit flags override the preset.")
@@ -289,8 +291,7 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
     )
     # None = flag not given -> preset decides (an EXPLICIT --long_side 640
     # with the turbo preset must stay 640, so the default is a sentinel)
-    turbo = a.serving_profile == "turbo"
-    small_bucket = a.serving_profile in ("turbo", "balanced")
+    small_bucket = a.serving_profile in ("turbo", "balanced", "int8_448")
     strided = a.serving_profile in ("turbo", "int8_s2")
     long_side = a.long_side if a.long_side is not None else (
         448 if small_bucket else 640)

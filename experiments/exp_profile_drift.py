@@ -217,7 +217,8 @@ def build_pipeline(profile: str, det_r50, det_mnet, cnn_v, lstm_v, expr_v):
     cfg = PipelineConfig(
         detector=DetectorConfig(
             backbone=backbone,
-            long_side=448 if (turbo or profile == "balanced") else 640,
+            long_side=448 if (turbo or profile in ("balanced", "int8_448"))
+            else 640,
             stride=2 if (turbo or profile == "int8_s2") else 1,
             quant=quant,
             threshold=0.5,  # synthetic detectors: same calibration everywhere

@@ -1,0 +1,146 @@
+"""Round-7: fused Pallas layer1 kernel vs XLA on the real v5e.
+
+Measures (in-loop method, experiments/exp_r4b_device.py):
+
+1. layer1 section alone: XLA bottleneck chain vs the fused kernel on a
+   device-resident [32, 90, 160, 64] input (the 640x360-bucket shape), with
+   a band-height sweep (the kernel's only tuning knob);
+2. full r50 detector forward @640 and @448, fused_layer1 off vs on —
+   the number the serving profile actually moves by.
+
+Results append to experiments/exp_r7_results.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+
+import jax
+import jax.numpy as jnp
+
+T0 = time.time()
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "exp_r7_results.jsonl")
+
+
+def emit(rec: dict) -> None:
+    rec["t_min"] = round((time.time() - T0) / 60, 1)
+    with open(OUT, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+
+
+def time_looped(fn, x, iters: int) -> float:
+    def body(i, acc):
+        xi = x * (1.0 + i.astype(x.dtype) * jnp.asarray(1e-7, x.dtype))
+        y = fn(xi)
+        s = sum(l.astype(jnp.float32).sum() for l in jax.tree.leaves(y))
+        return acc + s * 1e-12
+
+    @jax.jit
+    def run():
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    np.asarray(run())
+    t0 = time.perf_counter()
+    np.asarray(run())
+    return (time.perf_counter() - t0) / iters
+
+
+def main() -> None:
+    import flax.linen as nn
+
+    from avcer_tpu.models.retinaface import (
+        ResNet50Backbone, RetinaFace, TVBottleneck, TVBottleneckFolded,
+    )
+    from avcer_tpu.ops.pallas import fused_resnet_kernel as frk
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    emit({"name": "start_r7", "backend": jax.default_backend(),
+          "n_dev": jax.device_count()})
+
+    # ---- 1. layer1 section alone ------------------------------------------
+    class Layer1(nn.Module):
+        fused: bool = False
+        band: int = 32
+
+        @nn.compact
+        def __call__(self, x):
+            if self.fused:
+                folded: list = []
+                for bi in range(3):
+                    folded += TVBottleneckFolded(
+                        64, downsample=bi == 0, dtype=jnp.bfloat16,
+                        name=f"layer1_{bi}",
+                    )(64 if bi == 0 else 256)
+                flat = tuple(t for tr in folded for t in tr)
+                return frk.fused_layer1(x, flat, band=self.band)
+            h = x
+            for bi in range(3):
+                h = TVBottleneck(64, downsample=bi == 0, dtype=jnp.bfloat16,
+                                 name=f"layer1_{bi}")(h)
+            return h
+
+    xl = jnp.asarray(rng.standard_normal((32, 90, 160, 64)), jnp.bfloat16)
+    np.asarray(xl[0, 0, 0])
+    ref = Layer1()
+    variables = jax.device_put(
+        ref.init(key, jnp.zeros((1, 16, 16, 64), jnp.float32)))
+    try:
+        sec = time_looped(lambda x: ref.apply(variables, x), xl, 200)
+        emit({"name": "loop_layer1_xla",
+              "ms_per_frame": round(sec / 32 * 1e3, 4)})
+    except Exception as e:  # noqa: BLE001
+        emit({"name": "loop_layer1_xla", "error": repr(e)[:300]})
+    got_ref = None
+    for band in (15, 30, 45, 90):
+        try:
+            m = Layer1(fused=True, band=band)
+            sec = time_looped(lambda x: m.apply(variables, x), xl, 200)
+            emit({"name": f"loop_layer1_fused_b{band}",
+                  "ms_per_frame": round(sec / 32 * 1e3, 4)})
+            if got_ref is None:
+                want = np.asarray(ref.apply(variables, xl[:2]), np.float32)
+                got = np.asarray(m.apply(variables, xl[:2]), np.float32)
+                got_ref = float(np.abs(want - got).max())
+                emit({"name": "fused_layer1_maxdiff_vs_xla_bf16",
+                      "maxdiff": got_ref,
+                      "ref_absmax": float(np.abs(want).max())})
+        except Exception as e:  # noqa: BLE001
+            emit({"name": f"loop_layer1_fused_b{band}", "error": repr(e)[:300]})
+
+    # ---- 2. full detector, fused on/off ------------------------------------
+    x640 = jnp.asarray(rng.standard_normal((32, 360, 640, 3)), jnp.bfloat16)
+    x448 = jnp.asarray(rng.standard_normal((32, 256, 448, 3)), jnp.bfloat16)
+    np.asarray(x448[0, 0, 0])
+    rv = None
+    for fused in (False, True):
+        rf = RetinaFace(backbone="resnet50", dtype=jnp.bfloat16,
+                        fused_layer1=fused)
+        if rv is None:
+            rv = jax.device_put(
+                rf.init(key, jnp.zeros((1, 64, 64, 3), jnp.float32)))
+        for xin, tag in ((x640, "640"), (x448, "448")):
+            try:
+                sec = time_looped(lambda x: rf.apply(rv, x), xin,
+                                  150 if tag == "640" else 300)
+                emit({"name": f"loop_r50_{tag}_fused{int(fused)}",
+                      "ms_per_frame": round(sec / 32 * 1e3, 4)})
+            except Exception as e:  # noqa: BLE001
+                emit({"name": f"loop_r50_{tag}_fused{int(fused)}",
+                      "error": repr(e)[:300]})
+
+    emit({"name": "done_r7"})
+
+
+if __name__ == "__main__":
+    main()

@@ -252,6 +252,10 @@ def test_serving_profile_presets():
     assert cfg.detector.quant == cfg.visual.quant == cfg.audio.quant == "int8"
     assert (cfg.detector.backbone, cfg.detector.long_side) == ("resnet50", 640)
     assert cfg.detector.stride == 2 and not cfg.audio.shared_extractor
+    cfg, *_ = pipeline_config_from_args(["--serving_profile", "int8_448"])
+    assert cfg.detector.quant == cfg.visual.quant == cfg.audio.quant == "int8"
+    assert (cfg.detector.backbone, cfg.detector.long_side) == ("resnet50", 448)
+    assert cfg.detector.stride == 1 and not cfg.audio.shared_extractor
     cfg, *_ = pipeline_config_from_args(["--serving_profile", "fast"])
     assert cfg.detector.backbone == "mobilenet0.25"
     assert cfg.detector.long_side == 640
