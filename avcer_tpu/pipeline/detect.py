@@ -63,7 +63,11 @@ class DetectStage:
         self.model = RetinaFace(
             backbone=cfg.backbone, dtype=dtype, s2d_stem=bool(s2d),
             quant=cfg.quant == "int8",
-            fused_layer1=bool(cfg.fused_layer1) and cfg.quant != "int8",
+            # single-chip only: a pallas_call under the sharded-batch mesh
+            # jit has no partitioning rule, so XLA would all-gather the
+            # batch onto every chip instead of splitting the kernel grid
+            fused_layer1=bool(cfg.fused_layer1) and cfg.quant != "int8"
+            and mesh is None,
         )
         self.mesh = mesh
         if mesh is not None:

@@ -68,6 +68,37 @@ def main() -> None:
     emit({"name": "start_r7", "backend": jax.default_backend(),
           "n_dev": jax.device_count()})
 
+    # ---- 0. Mosaic stride-2 value-slicing probe ---------------------------
+    # The layer2/stem fused-kernel designs need parity (stride-2) slices of
+    # VMEM values for their stride-2 convs/pools; this answers whether
+    # Mosaic compiles them (and a reshape-split alternative) before any of
+    # that is built.
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def probe_strided(x_ref, o_ref):
+        o_ref[:] = x_ref[0:64:2, 0:128:2, :] * 2.0
+
+    def probe_reshape(x_ref, o_ref):
+        v = x_ref[:].reshape(32, 2, 64, 2, 128)
+        o_ref[:] = v[:, 0, :, 0, :] * 2.0
+
+    xprobe = jnp.asarray(rng.standard_normal((64, 128, 128)), jnp.bfloat16)
+    for nm, fn in (("strided_slice", probe_strided),
+                   ("reshape_split", probe_reshape)):
+        try:
+            out = pl.pallas_call(
+                fn,
+                out_shape=jax.ShapeDtypeStruct((32, 64, 128), jnp.bfloat16),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(xprobe)
+            want = np.asarray(xprobe[0:64:2, 0:128:2, :], np.float32) * 2.0
+            ok = bool(np.allclose(np.asarray(out, np.float32), want))
+            emit({"name": f"probe_{nm}", "ok": ok})
+        except Exception as e:  # noqa: BLE001
+            emit({"name": f"probe_{nm}", "error": repr(e)[:200]})
+
     # ---- 1. layer1 section alone ------------------------------------------
     class Layer1(nn.Module):
         fused: bool = False
