@@ -81,6 +81,9 @@ class DetectorConfig:
     #: the detector's HBM-bound worst section (~8% MFU, BENCH_NOTES round-4).
     #: Exact math over the same checkpoint tree; bf16 non-quant path only.
     fused_layer1: bool = False
+    #: additionally fuse the stride-1 identity tails of layers 2-3 (their
+    #: stride-2 entry bottlenecks stay in XLA) — same exactness contract.
+    fused_tails: bool = False
 
 
 @dataclass(frozen=True)

@@ -239,6 +239,10 @@ class ResNet50Backbone(nn.Module):
     #: program — ops/pallas/fused_resnet_kernel.py. Inference-only exact
     #: reformulation over the SAME parameter tree; bf16 path only.
     fused_layer1: bool = False
+    #: also run the stride-1 identity tails of layers 2-3 as fused chains
+    #: (their stride-2 entry bottlenecks stay in XLA); layer3's 5-block
+    #: tail splits into 3+2 chains to bound VMEM weight residency.
+    fused_tails: bool = False
 
     @nn.compact
     def __call__(
@@ -256,26 +260,58 @@ class ResNet50Backbone(nn.Module):
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         outs = []
         in_ch = 64
-        use_fused = self.fused_layer1 and not train and not self.quant
+        inference = not train and not self.quant
+        use_fused1 = self.fused_layer1 and inference
+        use_tails = self.fused_tails and inference
+        interp = jax.default_backend() == "cpu"
+
+        def fold_blocks(li: int, bis: range, planes: int) -> tuple:
+            flat: list = []
+            for bi in bis:
+                flat += [
+                    t for triple in TVBottleneckFolded(
+                        planes, downsample=bi == 0, dtype=self.dtype,
+                        name=f"layer{li + 1}_{bi}",
+                    )(in_ch if bi == 0 else planes * 4)
+                    for t in triple
+                ]
+            return tuple(flat)
+
         for li, (blocks, planes) in enumerate(
             zip((3, 4, 6, 3), (64, 128, 256, 512))
         ):
             stride = 1 if li == 0 else 2
-            if li == 0 and use_fused:
+            if li == 0 and use_fused1:
                 from avcer_tpu.ops.pallas.fused_resnet_kernel import fused_layer1
 
-                folded: list = []
-                for bi in range(blocks):
-                    folded += TVBottleneckFolded(
-                        planes, downsample=bi == 0, dtype=self.dtype,
-                        name=f"layer1_{bi}",
-                    )(in_ch if bi == 0 else planes * 4)
-                flat = tuple(t for triple in folded for t in triple)
                 h = fused_layer1(
-                    h.astype(self.dtype), flat,
-                    interpret=jax.default_backend() == "cpu",
+                    h.astype(self.dtype), fold_blocks(0, range(blocks), planes),
+                    interpret=interp,
                 )
                 in_ch = planes * 4
+                continue
+            if li in (1, 2) and use_tails:
+                from avcer_tpu.ops.pallas.fused_resnet_kernel import fused_chain
+
+                # stride-2 entry bottleneck stays in XLA
+                h = TVBottleneck(planes, stride=stride, downsample=True,
+                                 dtype=self.dtype,
+                                 name=f"layer{li + 1}_0")(h, train)
+                in_ch = planes * 4
+                tail = list(range(1, blocks))
+                # cap chains at 3 blocks: bounds per-call VMEM weight
+                # residency (layer3's 1024-ch conv3 weights are ~2.2 MB
+                # per block)
+                while tail:
+                    chunk, tail = tail[:3], tail[3:]
+                    h = fused_chain(
+                        h.astype(self.dtype),
+                        fold_blocks(li, chunk, planes),
+                        ("id",) * len(chunk),
+                        interpret=interp,
+                        band=16 if li == 2 else 24,
+                    )
+                outs.append(h)
                 continue
             for bi in range(blocks):
                 s = stride if bi == 0 else 1
@@ -420,6 +456,9 @@ class RetinaFace(nn.Module):
     #: resnet50 layer1 as one fused Pallas program (same checkpoint tree,
     #: inference-only — ResNet50Backbone.fused_layer1).
     fused_layer1: bool = False
+    #: also fuse the stride-1 identity tails of layers 2-3
+    #: (ResNet50Backbone.fused_tails).
+    fused_tails: bool = False
     #: dynamically-quantized int8 serving path (layers.int8_conv): backbone +
     #: FPN + SSH convs run int8 on the MXU (~1.85x conv speedup on v5e);
     #: heads stay bf16 for box-regression precision. Same checkpoint tree as
@@ -431,7 +470,8 @@ class RetinaFace(nn.Module):
         if self.backbone == "resnet50":
             feats = ResNet50Backbone(
                 dtype=self.dtype, s2d_stem=self.s2d_stem, quant=self.quant,
-                fused_layer1=self.fused_layer1, name="body",
+                fused_layer1=self.fused_layer1, fused_tails=self.fused_tails,
+                name="body",
             )(x, train)
             out_ch = 256
         elif self.backbone == "mobilenet0.25":

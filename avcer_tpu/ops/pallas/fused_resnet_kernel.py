@@ -1,34 +1,37 @@
-"""Pallas TPU kernel: ResNet50 layer1 as ONE fused program.
+"""Pallas TPU kernel: chains of ResNet bottlenecks as ONE fused program.
 
-Why layer1: at the 640x360 bucket the three 64-channel bottlenecks are the
-detector's worst section — 0.146 ms/frame of 0.544 at ~8% MFU (BENCH_NOTES
-round-4 breakdown). The section is HBM-BOUND, not MXU-bound: XLA cannot fuse
-across convolutions, so every conv round-trips its activations through HBM —
-~4.4 GB of intermediate traffic per 32-frame batch at 160x90 spatial
-(inputs 59 MB, output 236 MB; everything else is re-read/re-write of
-intermediates). This kernel runs the whole chain (3 bottlenecks = 10 convs +
-BN + ReLU + residuals) per spatial band inside VMEM: HBM traffic drops to
-one read of the input band + one write of the output band.
+Why: XLA cannot fuse across convolutions, so every conv in a bottleneck
+round-trips its activations through HBM. At the 640x360 bucket the r50
+detector's layer1 moves ~4.4 GB of intermediates per 32-frame batch for a
+59 MB input (0.146 ms/frame at ~8% MFU — the detector's worst section,
+BENCH_NOTES round-4), and layers 2-3 repeat the pattern at half/quarter
+resolution. This kernel runs a whole chain of stride-1 bottlenecks
+(conv1x1 -> conv3x3 -> conv1x1, BN folded, ReLU, residual) per spatial
+band inside VMEM: HBM traffic drops to one read of the input band + one
+write of the output band.
 
-Exactness: BatchNorm (inference) folds into a per-channel scale/shift
-(mathematically identical, models/layers.TorchBatchNorm does the same fold);
-each conv accumulates bf16 x bf16 -> f32 on the MXU exactly like the XLA
-conv, then rounds to bf16 before the scale/shift — the same rounding points
-as the unfused path. 3x3 convs run as 9 shifted matmuls whose f32 partial
-sums differ from XLA's reduction order only in float-addition associativity.
-Converted reference checkpoints work unchanged (same parameter tree — see
-models/retinaface.TVBottleneck fold mode).
+Exactness: inference BatchNorm folds to a per-channel scale/shift
+(mathematically identical — models/layers.TorchBatchNorm does the same
+fold); each conv accumulates bf16 x bf16 -> f32 on the MXU exactly like
+the XLA conv, then rounds to bf16 before the scale/shift — the same
+rounding points as the unfused path. 3x3 convs run as 9 shifted matmuls
+whose f32 partial sums differ from XLA's reduction order only in
+float-addition associativity. Converted reference checkpoints work
+unchanged (same parameter tree — models/retinaface.TVBottleneckFolded).
 
-Behavior contract: torchvision resnet50 layer1 under
-/root/reference/src/data/face_detection/ibug/face_detection/retina_face/
-retina_face.py:60 (IntermediateLayerGetter over tv resnet50), i.e. 3
-Bottlenecks 64->256 at stride 1 with a downsample projection on the first.
+Band decomposition: output rows split into bands of TH rows; a chain of N
+bottlenecks (= N 3x3 convs) needs TH+2N input rows, DMA'd from a
+zero-padded HBM copy of the input. Out-of-frame halo positions must be
+ZERO at each 3x3 conv's input (conv zero-padding semantics) but hold junk
+after any preceding bias+ReLU — they are re-masked before every 3x3.
 
-Band decomposition: output rows split into bands of TH rows; each program
-needs TH+6 input rows (halo 3: one ring per 3x3 conv) which it DMAs from a
-zero-padded HBM copy of the input. Out-of-frame halo positions must be ZERO
-at each 3x3 conv's input (conv zero-padding semantics) but hold junk after
-any preceding bias+ReLU — they are re-masked before every 3x3.
+Entry points:
+- ``fused_layer1``: the whole torchvision-resnet50 layer1 (3 bottlenecks,
+  64 planes, downsample projection on the first — behavior contract:
+  /root/reference/src/data/face_detection/ibug/face_detection/retina_face/
+  retina_face.py:60, IntermediateLayerGetter over tv resnet50);
+- ``fused_chain``: any stride-1 bottleneck chain — used for the identity
+  tails of layers 2-3 (their stride-2 entry blocks stay in XLA).
 """
 
 from __future__ import annotations
@@ -40,19 +43,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# folded-conv flat order fed to the kernel: (matmul weight, bn inv, bn shift)
-# triples for each conv in execution order
-CONV_ORDER = (
-    "b0_conv1", "b0_conv2", "b0_conv3", "b0_downsample",
-    "b1_conv1", "b1_conv2", "b1_conv3",
-    "b2_conv1", "b2_conv2", "b2_conv3",
-)
-
 
 def _mm(a2d, w, inv, shift, relu=True):
-    """conv-as-matmul + folded BN: f32 MXU accumulation, round to bf16 at
-    the conv output (the unfused path's rounding point), then scale/shift
-    in the compute dtype (TorchBatchNorm inference fold)."""
+    """conv-as-matmul + folded BN: f32 MXU accumulation, round to the
+    compute dtype at the conv output (the unfused path's rounding point),
+    then scale/shift (TorchBatchNorm inference fold)."""
     acc = jnp.dot(a2d, w, preferred_element_type=jnp.float32)
     y = acc.astype(w.dtype) * inv + shift
     return jnp.maximum(y, 0) if relu else y
@@ -87,93 +82,100 @@ def _mask_oof(a, r0, off, h, w):
     return jnp.where(ok[..., None], a, jnp.zeros((), a.dtype))
 
 
-def _kernel(xp_hbm, *refs, th: int, h: int, w: int):
-    *w_refs, o_ref, xb, sem = refs
-    (w1a, i1a, s1a, w2a, i2a, s2a, w3a, i3a, s3a, wd, id_, sd,
-     w1b, i1b, s1b, w2b, i2b, s2b, w3b, i3b, s3b,
-     w1c, i1c, s1c, w2c, i2c, s2c, w3c, i3c, s3c) = [r[:] for r in w_refs]
+def _kernel(xp_hbm, *refs, th: int, h: int, w: int, blocks: tuple[str, ...]):
+    n = len(blocks)
+    n_w = sum(12 if b == "ds" else 9 for b in blocks)
+    w_refs = refs[:n_w]
+    o_ref, xb, sem = refs[n_w], refs[n_w + 1], refs[n_w + 2]
+    vals = [r[:] for r in w_refs]
 
     b = pl.program_id(0)
     rb = pl.program_id(1)
     r0 = rb * th
 
-    dma = pltpu.make_async_copy(xp_hbm.at[b, pl.ds(r0, th + 6)], xb, sem)
+    dma = pltpu.make_async_copy(xp_hbm.at[b, pl.ds(r0, th + 2 * n)], xb, sem)
     dma.start()
     dma.wait()
 
-    rr, wp = th + 6, w + 6
-    x = xb[:]                                           # (rr, wp, 64)
-    # bottleneck 0 (downsample projection on the residual)
-    t1 = _mm(x.reshape(rr * wp, 64), w1a, i1a, s1a).reshape(rr, wp, 64)
-    t1 = _mask_oof(t1, r0, 3, h, w)
-    t2 = _conv3x3(t1, w2a, i2a, s2a)                    # (rr-2, wp-2, 64)
-    m2 = (rr - 2) * (wp - 2)
-    y1 = _mm(t2.reshape(m2, 64), w3a, i3a, s3a, relu=False)
-    ds = _mm(x[1:rr - 1, 1:wp - 1, :].reshape(m2, 64), wd, id_, sd,
-             relu=False)
-    y1 = jnp.maximum(y1 + ds, 0).reshape(rr - 2, wp - 2, 256)
-    # bottleneck 1
-    u1 = _mm(y1.reshape(m2, 256), w1b, i1b, s1b).reshape(rr - 2, wp - 2, 64)
-    u1 = _mask_oof(u1, r0, 2, h, w)
-    u2 = _conv3x3(u1, w2b, i2b, s2b)                    # (rr-4, wp-4, 64)
-    m3 = (rr - 4) * (wp - 4)
-    y2 = _mm(u2.reshape(m3, 64), w3b, i3b, s3b, relu=False)
-    y2 = jnp.maximum(
-        y2 + y1[1:rr - 3, 1:wp - 3, :].reshape(m3, 256), 0
-    ).reshape(rr - 4, wp - 4, 256)
-    # bottleneck 2
-    v1 = _mm(y2.reshape(m3, 256), w1c, i1c, s1c).reshape(rr - 4, wp - 4, 64)
-    v1 = _mask_oof(v1, r0, 1, h, w)
-    v2 = _conv3x3(v1, w2c, i2c, s2c)                    # (th, w, 64)
-    mo = th * w
-    y3 = _mm(v2.reshape(mo, 64), w3c, i3c, s3c, relu=False)
-    y3 = jnp.maximum(y3 + y2[1:th + 1, 1:w + 1, :].reshape(mo, 256), 0)
-    o_ref[0] = y3.reshape(th, w, 256)
+    cur = xb[:]                                  # (th+2n, w+2n, in_ch)
+    off = n
+    for kind in blocks:
+        take = 12 if kind == "ds" else 9
+        (w1, i1, s1, w2, i2, s2, w3, i3, s3, *ds_w) = vals[:take]
+        del vals[:take]
+        r, c, ci = cur.shape
+        t1 = _mm(cur.reshape(r * c, ci), w1, i1, s1).reshape(r, c, -1)
+        t1 = _mask_oof(t1, r0, off, h, w)
+        t2 = _conv3x3(t1, w2, i2, s2)            # (r-2, c-2, p)
+        m = (r - 2) * (c - 2)
+        y = _mm(t2.reshape(m, -1), w3, i3, s3, relu=False)
+        if kind == "ds":
+            wd, idv, sd = ds_w
+            res = _mm(cur[1:r - 1, 1:c - 1, :].reshape(m, ci), wd, idv, sd,
+                      relu=False)
+        else:
+            res = cur[1:r - 1, 1:c - 1, :].reshape(m, cur.shape[-1])
+        cur = jnp.maximum(y + res, 0).reshape(r - 2, c - 2, y.shape[-1])
+        off -= 1
+    o_ref[0] = cur                               # (th, w, c_out)
 
 
 def _pick_band(h: int, cap: int = 32) -> int:
     """Band height <= cap, preferring an exact divisor of h (a divisor
-    avoids computing padded junk rows in the last band: the 640x360 bucket's
-    h=90 gets 3 bands of 30 instead of 32+32+26-with-6-junk-rows). Falls
-    back to cap with pad-and-slice when no near divisor exists."""
+    avoids computing padded junk rows in the last band: the 640x360
+    bucket's h=90 gets 3 bands of 30). Otherwise the most even split
+    (minimum junk rows)."""
     if h <= cap:
         return h
     for th in range(cap, max(cap - 16, 1), -1):
         if h % th == 0:
             return th
-    return cap
+    nb = -(-h // cap)
+    return -(-h // nb)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "band"))
-def fused_layer1(
-    x: jax.Array,  # [B, H, W, 64] compute-dtype NHWC (post stem+maxpool)
-    folded: tuple,  # flat (w, inv, shift) x CONV_ORDER — see fold_bottleneck
+@functools.partial(jax.jit,
+                   static_argnames=("blocks", "interpret", "band"))
+def fused_chain(
+    x: jax.Array,        # [B, H, W, Cin] compute-dtype NHWC
+    folded: tuple,       # flat (w, inv, shift[, ds triple]) per block
+    blocks: tuple[str, ...],  # "ds" (projection residual) | "id" (identity)
     interpret: bool = False,
     band: int = 32,
 ) -> jax.Array:
     bsz, h, w, _ = x.shape
+    n = len(blocks)
     th = _pick_band(h, band)
     nb = -(-h // th)
     hp = nb * th
-    xp = jnp.pad(x, ((0, 0), (3, 3 + hp - h), (3, 3), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (n, n + hp - h), (n, n), (0, 0)))
     dtype = x.dtype
+    c_out = folded[6].shape[-1]  # first block conv3 out channels
 
-    w_specs = [
-        pl.BlockSpec(memory_space=pltpu.VMEM) for _ in folded
-    ]
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in folded]
     out = pl.pallas_call(
-        functools.partial(_kernel, th=th, h=h, w=w),
+        functools.partial(_kernel, th=th, h=h, w=w, blocks=blocks),
         grid=(bsz, nb),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + w_specs,
         out_specs=pl.BlockSpec(
-            (1, th, w, 256), lambda b, r: (b, r, 0, 0),
+            (1, th, w, c_out), lambda b, r: (b, r, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, hp, w, 256), dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, w, c_out), dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 6, w + 6, 64), dtype),
+            pltpu.VMEM((th + 2 * n, w + 2 * n, x.shape[-1]), dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(xp, *folded)
     return out[:, :h] if hp != h else out
+
+
+def fused_layer1(
+    x: jax.Array,  # [B, H, W, 64] post stem+maxpool
+    folded: tuple,
+    interpret: bool = False,
+    band: int = 32,
+) -> jax.Array:
+    return fused_chain(x, folded, ("ds", "id", "id"),
+                       interpret=interpret, band=band)

@@ -68,6 +68,8 @@ class DetectStage:
             # batch onto every chip instead of splitting the kernel grid
             fused_layer1=bool(cfg.fused_layer1) and cfg.quant != "int8"
             and mesh is None,
+            fused_tails=bool(cfg.fused_tails) and cfg.quant != "int8"
+            and mesh is None,
         )
         self.mesh = mesh
         if mesh is not None:

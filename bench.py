@@ -310,10 +310,10 @@ def main() -> None:
         # otherwise in-program fori_loop repetitions (sub-5 ms programs)
         for name, backbone, bucket, quant, dvars, inloop_iters, extra in (
             ("r50_640", "resnet50", 640, "none", inner.variables, None, {}),
-            # exact math, layer1 as the fused Pallas program
-            # (ops/pallas/fused_resnet_kernel.py)
+            # exact math, layer1 (+ layer2/3 identity tails) as fused Pallas
+            # programs (ops/pallas/fused_resnet_kernel.py)
             ("r50_640_fused", "resnet50", 640, "none", inner.variables, None,
-             {"fused_layer1": True}),
+             {"fused_layer1": True, "fused_tails": True}),
             ("r50_448", "resnet50", 448, "none", inner.variables, None, {}),
             ("r50_640_int8", "resnet50", 640, "int8", inner.variables, None,
              {}),

@@ -154,9 +154,12 @@ def main() -> None:
     x448 = jnp.asarray(rng.standard_normal((32, 256, 448, 3)), jnp.bfloat16)
     np.asarray(x448[0, 0, 0])
     rv = None
-    for fused in (False, True):
+    for fused1, tails, tag2 in ((False, False, "fused0"),
+                                (True, False, "fused1"),
+                                (True, True, "fused1t"),
+                                (False, True, "fused0t")):
         rf = RetinaFace(backbone="resnet50", dtype=jnp.bfloat16,
-                        fused_layer1=fused)
+                        fused_layer1=fused1, fused_tails=tails)
         if rv is None:
             rv = jax.device_put(
                 rf.init(key, jnp.zeros((1, 64, 64, 3), jnp.float32)))
@@ -164,10 +167,10 @@ def main() -> None:
             try:
                 sec = time_looped(lambda x: rf.apply(rv, x), xin,
                                   150 if tag == "640" else 300)
-                emit({"name": f"loop_r50_{tag}_fused{int(fused)}",
+                emit({"name": f"loop_r50_{tag}_{tag2}",
                       "ms_per_frame": round(sec / 32 * 1e3, 4)})
             except Exception as e:  # noqa: BLE001
-                emit({"name": f"loop_r50_{tag}_fused{int(fused)}",
+                emit({"name": f"loop_r50_{tag}_{tag2}",
                       "error": repr(e)[:300]})
 
     emit({"name": "done_r7"})

@@ -24,11 +24,11 @@ def test_pallas_nms_matches_xla(rng):
     np.testing.assert_array_equal(got, want)
 
 
-def _layer1_backbones(dtype):
+def _layer1_backbones(dtype, **kw):
     from avcer_tpu.models.retinaface import ResNet50Backbone
 
     exact = ResNet50Backbone(dtype=dtype)
-    fused = ResNet50Backbone(dtype=dtype, fused_layer1=True)
+    fused = ResNet50Backbone(dtype=dtype, fused_layer1=True, **kw)
     return exact, fused
 
 
@@ -67,10 +67,24 @@ def test_fused_layer1_bf16_close(rng):
     assert np.abs(got - want).max() / scale < 0.05
 
 
+def test_fused_tails_match_xla(rng):
+    """fused_tails (layer2/3 identity chains, incl. layer3's 3+2 chunk
+    split; stride-2 entries in XLA) reproduces the exact backbone."""
+    exact, fused = _layer1_backbones(jnp.float32, fused_tails=True)
+    x = jnp.asarray(rng.normal(size=(1, 64, 48, 3)).astype(np.float32))
+    variables = exact.init(jax.random.PRNGKey(3), x)
+    want = exact.apply(variables, x)
+    got = fused.apply(variables, x)
+    for w_, g_ in zip(want, got):
+        np.testing.assert_allclose(
+            np.asarray(g_), np.asarray(w_), atol=2e-4, rtol=1e-3
+        )
+
+
 def test_fused_layer1_same_init_tree(rng):
     """fused_layer1=True declares the identical parameter/stat tree (same
     names, shapes, AND init values — init RNGs are path-derived)."""
-    exact, fused = _layer1_backbones(jnp.float32)
+    exact, fused = _layer1_backbones(jnp.float32, fused_tails=True)
     x = jnp.zeros((1, 32, 32, 3), jnp.float32)
     va = exact.init(jax.random.PRNGKey(7), x)
     vb = fused.init(jax.random.PRNGKey(7), x)
