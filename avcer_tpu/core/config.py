@@ -102,6 +102,10 @@ class VisualConfig:
     #: exact space-to-depth stem (models/emotion_resnet.py s2d_stem; same
     #: params/math). "auto" = on for bf16 TPU serving; bf16 path only.
     s2d_stem: bool | str = False
+    #: bottleneck chains as fused Pallas programs (models/emotion_resnet.py
+    #: fused) — same exactness contract as DetectorConfig.fused_layer1;
+    #: bf16 non-quant single-chip path only.
+    fused: bool = False
 
 
 @dataclass(frozen=True)

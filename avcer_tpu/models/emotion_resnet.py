@@ -120,6 +120,13 @@ class EmotionResNet50(nn.Module):
     #: same params, same math, MXU-friendly layout. bf16 path only; under
     #: quant the stem keeps the QConv layout (pending a measured win).
     s2d_stem: bool = False
+    #: bottleneck chains as fused Pallas programs
+    #: (ops/pallas/fused_resnet_kernel.py): layer1 whole (its projection
+    #: entry is stride 1 here), layers 2-4 identity tails (stride-2 entries
+    #: stay in XLA; 512-plane chains chunk to 1 block — ~8.7 MB of folded
+    #: weights per block must fit VMEM). Exact math over the same
+    #: checkpoint tree; inference bf16/f32 non-quant path only.
+    fused: bool = False
 
     @nn.compact
     def __call__(
@@ -143,8 +150,42 @@ class EmotionResNet50(nn.Module):
 
         planes = (64, 128, 256, 512)
         in_ch = 64
+        use_fused = self.fused and not train and not self.quant
         for li, (blocks, p) in enumerate(zip(self.layer_sizes, planes)):
             stride = 1 if li == 0 else 2
+            if use_fused:
+                from avcer_tpu.models.retinaface import TVBottleneckFolded
+                from avcer_tpu.ops.pallas.fused_resnet_kernel import fused_chain
+
+                start = 0
+                if li > 0:  # stride-2 projection entry stays in XLA
+                    h_ = Bottleneck(
+                        p, stride=stride, downsample=True, dtype=self.dtype,
+                        name=f"layer{li + 1}_0",
+                    )(h_, train)
+                    in_ch = p * 4
+                    start = 1
+                tail = list(range(start, blocks))
+                chunk_n = 1 if p >= 512 else 3
+                while tail:
+                    chunk, tail = tail[:chunk_n], tail[chunk_n:]
+                    flat: list = []
+                    for bi in chunk:
+                        flat += [
+                            t for tr in TVBottleneckFolded(
+                                p, downsample=bi == 0, dtype=self.dtype,
+                                eps=BN_EPS, bn_prefix="batch_norm",
+                                name=f"layer{li + 1}_{bi}",
+                            )(in_ch if bi == 0 else p * 4)
+                            for t in tr
+                        ]
+                    h_ = fused_chain(
+                        h_.astype(self.dtype), tuple(flat),
+                        tuple("ds" if bi == 0 else "id" for bi in chunk),
+                        interpret=jax.default_backend() == "cpu",
+                    )
+                    in_ch = p * 4
+                continue
             for bi in range(blocks):
                 s = stride if bi == 0 else 1
                 ds = bi == 0 and (s != 1 or in_ch != p * 4)

@@ -115,6 +115,9 @@ class TVBottleneckFolded(nn.Module):
     downsample: bool = False
     dtype: Dtype = jnp.float32
     eps: float = 1e-5
+    #: BN child-name prefix: "bn" (torchvision RetinaFace backbone) or
+    #: "batch_norm" (the TF-flavored emotion ResNet, same fold semantics)
+    bn_prefix: str = "bn"
 
     @nn.compact
     def __call__(self, in_ch: int):
@@ -129,11 +132,11 @@ class TVBottleneckFolded(nn.Module):
             return (inv.reshape(1, -1).astype(self.dtype),
                     shift.reshape(1, -1).astype(self.dtype))
 
-        p = self.planes
+        p, bn = self.planes, self.bn_prefix
         out = [
-            (conv_k("conv1", 1, in_ch, p), *bn_fold("bn1", p)),
-            (conv_k("conv2", 3, p, p), *bn_fold("bn2", p)),
-            (conv_k("conv3", 1, p, p * 4), *bn_fold("bn3", p * 4)),
+            (conv_k("conv1", 1, in_ch, p), *bn_fold(f"{bn}1", p)),
+            (conv_k("conv2", 3, p, p), *bn_fold(f"{bn}2", p)),
+            (conv_k("conv3", 1, p, p * 4), *bn_fold(f"{bn}3", p * 4)),
         ]
         if self.downsample:
             out.append(

@@ -156,7 +156,7 @@ def fused_chain(
     out = pl.pallas_call(
         functools.partial(_kernel, th=th, h=h, w=w, blocks=blocks),
         grid=(bsz, nb),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + w_specs,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + w_specs,
         out_specs=pl.BlockSpec(
             (1, th, w, c_out), lambda b, r: (b, r, 0, 0),
             memory_space=pltpu.VMEM,

@@ -101,6 +101,7 @@ class Pipeline:
             static_vars, lstm_vars, num_classes=cfg.visual.num_classes,
             dtype=dt(cfg.visual.dtype), batch_size=cfg.visual.batch_size, mesh=mesh,
             quant=cfg.visual.quant, s2d_stem=cfg.visual.s2d_stem,
+            fused=cfg.visual.fused,
         )
         self.audio = AudioStage(
             audio_vars, cfg.audio, wav2vec2_config, dtype=dt(cfg.audio.dtype),

@@ -107,6 +107,7 @@ class VisualStage:
         mesh=None,
         quant: str = "none",
         s2d_stem: bool | str = False,
+        fused: bool = False,
     ):
         if s2d_stem == "auto":
             import jax as _jax
@@ -116,6 +117,8 @@ class VisualStage:
         self.static_model = EmotionResNet50(
             num_classes=num_classes, dtype=dtype, quant=quant == "int8",
             s2d_stem=bool(s2d_stem),
+            # single-chip only (pallas_call has no mesh partitioning rule)
+            fused=bool(fused) and quant != "int8" and mesh is None,
         )
         self.lstm_model = TemporalLSTM(num_classes=num_classes, dtype=dtype)
         self.mesh = mesh

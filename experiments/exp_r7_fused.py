@@ -173,6 +173,25 @@ def main() -> None:
                 emit({"name": f"loop_r50_{tag}_{tag2}",
                       "error": repr(e)[:300]})
 
+    # ---- 3. emotion CNN, fused on/off --------------------------------------
+    from avcer_tpu.models.emotion_resnet import EmotionResNet50
+
+    xc = jnp.asarray(rng.standard_normal((256, 224, 224, 3)) * 60, jnp.bfloat16)
+    np.asarray(xc[0, 0, 0])
+    ev = None
+    for fused in (False, True):
+        em = EmotionResNet50(num_classes=7, dtype=jnp.bfloat16, fused=fused)
+        if ev is None:
+            ev = jax.device_put(
+                em.init(key, jnp.zeros((1, 224, 224, 3), jnp.float32)))
+        try:
+            sec = time_looped(lambda x: em.apply(ev, x), xc, 100)
+            emit({"name": f"loop_cnn_224_fused{int(fused)}",
+                  "ms_per_frame": round(sec / 256 * 1e3, 4)})
+        except Exception as e:  # noqa: BLE001
+            emit({"name": f"loop_cnn_224_fused{int(fused)}",
+                  "error": repr(e)[:300]})
+
     emit({"name": "done_r7"})
 
 

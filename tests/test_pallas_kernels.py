@@ -81,6 +81,29 @@ def test_fused_tails_match_xla(rng):
         )
 
 
+def test_fused_emotion_cnn_matches_xla(rng):
+    """EmotionResNet50(fused=True): layer1 whole + layer2-4 identity tails
+    as fused chains (TF-flavored blocks: batch_norm names, eps 1e-3)
+    reproduce the exact model over the same variable tree."""
+    from avcer_tpu.models.emotion_resnet import EmotionResNet50
+
+    exact = EmotionResNet50(num_classes=7, dtype=jnp.float32)
+    fused = EmotionResNet50(num_classes=7, dtype=jnp.float32, fused=True)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32) * 50)
+    variables = exact.init(jax.random.PRNGKey(5), x)
+    want_l, want_f = exact.apply(variables, x)
+    got_l, got_f = fused.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               atol=2e-3, rtol=1e-3)
+    va = exact.init(jax.random.PRNGKey(9), x)
+    vb = fused.init(jax.random.PRNGKey(9), x)
+    la = jax.tree_util.tree_leaves_with_path(va)
+    lb = jax.tree_util.tree_leaves_with_path(vb)
+    assert [p for p, _ in la] == [p for p, _ in lb]
+
+
 def test_fused_layer1_same_init_tree(rng):
     """fused_layer1=True declares the identical parameter/stat tree (same
     names, shapes, AND init values — init RNGs are path-derived)."""
