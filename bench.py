@@ -392,6 +392,23 @@ def main() -> None:
             n1=5, n2=25,
         )
         per_frame_cnn_int8 = sec / 256
+        # exact-math fused-chain CNN (models/emotion_resnet.py fused)
+        per_frame_cnn_fused = None
+        try:
+            vf = _VS(
+                pipe.visual.static_variables, pipe.visual.lstm_variables,
+                dtype=jnp.bfloat16, batch_size=256, fused=True,
+            )
+            sec = time_slope(
+                lambda: vf._jit_static_from_frames(
+                    vf.static_variables, frames_dev, idx_b, boxes_b
+                ),
+                n1=5, n2=25,
+            )
+            per_frame_cnn_fused = sec / 256
+        except Exception as e:
+            print(json.dumps({"cnn_fused_error": str(e)[:200]}),
+                  file=sys.stderr)
         # audio: one 4 s window per 0.5 s of video -> 2 windows per video-sec
         wav_dev = jnp.asarray(np.random.default_rng(2).normal(size=200_001).astype(np.float32))
         starts = jnp.asarray(np.arange(16, dtype=np.int32) * 8000)
@@ -469,9 +486,13 @@ def main() -> None:
         profiles = {
             "parity_r50_640": vss(detect_ms["r50_640"], 1),
             **({
-                # exact math with layer1 as the fused Pallas program —
-                # parity-quality (same checkpoint tree, same rounding points)
-                "parity_r50_640_fused": vss(detect_ms["r50_640_fused"], 1),
+                # exact math with the detector layer1 + layer2/3 tails AND
+                # the emotion CNN's chains as fused Pallas programs —
+                # parity-quality (same checkpoint trees, same rounding points)
+                "parity_r50_640_fused": vss(
+                    detect_ms["r50_640_fused"], 1,
+                    per_frame_cnn_fused or per_frame_cnn,
+                ),
             } if "r50_640_fused" in detect_ms else {}),
             # exact math + weights at the 448 letterbox bucket: quality cost
             # is detector recall below ~48 px native faces only (PARITY.md
@@ -494,6 +515,9 @@ def main() -> None:
                     },
                     "per_frame_cnn_ms": round(per_frame_cnn * 1e3, 3),
                     "per_frame_cnn_int8_ms": round(per_frame_cnn_int8 * 1e3, 3),
+                    **({"per_frame_cnn_fused_ms": round(
+                        per_frame_cnn_fused * 1e3, 3)}
+                       if per_frame_cnn_fused else {}),
                     "per_window_audio_ms": round(per_window_audio * 1e3, 3),
                     "per_window_audio_int8_ms": round(
                         per_window_audio_int8 * 1e3, 3
