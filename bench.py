@@ -315,6 +315,8 @@ def main() -> None:
             ("r50_640_fused", "resnet50", 640, "none", inner.variables, None,
              {"fused_layer1": True, "fused_tails": True}),
             ("r50_448", "resnet50", 448, "none", inner.variables, None, {}),
+            ("r50_448_fused", "resnet50", 448, "none", inner.variables, 150,
+             {"fused_layer1": True, "fused_tails": True}),
             ("r50_640_int8", "resnet50", 640, "int8", inner.variables, None,
              {}),
             ("r50_448_int8", "resnet50", 448, "int8", inner.variables, 150,
@@ -498,6 +500,14 @@ def main() -> None:
             # is detector recall below ~48 px native faces only (PARITY.md
             # bucket table); every model output else bit-matches parity
             "balanced_r50_448": vss(detect_ms["r50_448"], 1),
+            **({
+                # balanced bucket, exact math, fused Pallas chains — zero
+                # quantization
+                "balanced_r50_448_fused": vss(
+                    detect_ms["r50_448_fused"], 1,
+                    per_frame_cnn_fused or per_frame_cnn,
+                ),
+            } if "r50_448_fused" in detect_ms else {}),
             # balanced bucket + calibrated int8 (both tradeoffs drift-gated)
             "int8_r50_448": vss(detect_ms["r50_448_int8"], 1, ci, ai),
             "int8_r50_640": vss(detect_ms["r50_640_int8"], 1, ci, ai),
