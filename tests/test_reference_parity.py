@@ -129,8 +129,15 @@ def test_real_expr_model_parity(rng, variant, num_classes, num_layers):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("backbone", ["resnet50", "mobilenet0.25"])
-def test_real_retinaface_parity(rng, backbone):
+@pytest.mark.parametrize("backbone,fused", [
+    ("resnet50", False),
+    # fused=True routes layer1 + layer2/3 identity tails through the Pallas
+    # fused chains (interpret mode on CPU) — pins the kernel directly
+    # against the REAL reference network on converted real-layout weights
+    ("resnet50", True),
+    ("mobilenet0.25", False),
+])
+def test_real_retinaface_parity(rng, backbone, fused):
     """retina_face.py:46-115 (real network; real retina_face_net FPN/SSH/
     MobileNetV1) vs models.retinaface. The mobilenet variant runs with zero
     stubbed code; the resnet50 variant uses the torchvision-naming stub."""
@@ -143,7 +150,8 @@ def test_real_retinaface_parity(rng, backbone):
         want_loc, want_conf, want_landms = real(torch.from_numpy(x))
 
     variables = convert.convert_retinaface(real.state_dict(), backbone=backbone)
-    model = RetinaFace(backbone=backbone, dtype=jnp.float32)
+    model = RetinaFace(backbone=backbone, dtype=jnp.float32,
+                       fused_layer1=fused, fused_tails=fused)
     loc, conf, landms = jax.jit(model.apply)(
         variables, jnp.asarray(x.transpose(0, 2, 3, 1))
     )
