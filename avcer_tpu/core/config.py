@@ -84,6 +84,10 @@ class DetectorConfig:
     #: additionally fuse the stride-1 identity tails of layers 2-3 (their
     #: stride-2 entry bottlenecks stay in XLA) — same exactness contract.
     fused_tails: bool = False
+    #: fuse the stride-2 entry bottlenecks of layers 2-3 into their chains
+    #: too (models/retinaface.ResNet50Backbone.fused_entries) — layer2
+    #: becomes ONE Pallas program; requires fused_tails, same exactness.
+    fused_entries: bool = False
 
 
 @dataclass(frozen=True)
@@ -106,6 +110,9 @@ class VisualConfig:
     #: fused) — same exactness contract as DetectorConfig.fused_layer1;
     #: bf16 non-quant single-chip path only.
     fused: bool = False
+    #: with ``fused``, fuse the stride-2 entries of layers 2-3 too
+    #: (models/emotion_resnet.py fused_entries — "s2pre" kernel blocks).
+    fused_entries: bool = False
 
 
 @dataclass(frozen=True)

@@ -127,6 +127,12 @@ class EmotionResNet50(nn.Module):
     #: weights per block must fit VMEM). Exact math over the same
     #: checkpoint tree; inference bf16/f32 non-quant path only.
     fused: bool = False
+    #: with ``fused``, also fuse the stride-2 entry blocks of layers 2-3
+    #: into their chains ("s2pre" kernel blocks: this TF-v1 flavor strides
+    #: conv1 + the projection, so the entry collapses to a band subsample
+    #: — fused_resnet_kernel docstring). layer4's entry stays in XLA
+    #: (512-plane folded weights ~12 MB/block exceed VMEM headroom).
+    fused_entries: bool = False
 
     @nn.compact
     def __call__(
@@ -158,7 +164,9 @@ class EmotionResNet50(nn.Module):
                 from avcer_tpu.ops.pallas.fused_resnet_kernel import fused_chain
 
                 start = 0
-                if li > 0:  # stride-2 projection entry stays in XLA
+                fuse_entry = self.fused_entries and 0 < li < 3
+                if li > 0 and not fuse_entry:
+                    # stride-2 projection entry stays in XLA
                     h_ = Bottleneck(
                         p, stride=stride, downsample=True, dtype=self.dtype,
                         name=f"layer{li + 1}_0",
@@ -181,7 +189,10 @@ class EmotionResNet50(nn.Module):
                         ]
                     h_ = fused_chain(
                         h_.astype(self.dtype), tuple(flat),
-                        tuple("ds" if bi == 0 else "id" for bi in chunk),
+                        tuple(
+                            ("s2pre" if li > 0 else "ds") if bi == 0 else "id"
+                            for bi in chunk
+                        ),
                         interpret=jax.default_backend() == "cpu",
                     )
                     in_ch = p * 4

@@ -246,6 +246,12 @@ class ResNet50Backbone(nn.Module):
     #: (their stride-2 entry bottlenecks stay in XLA); layer3's 5-block
     #: tail splits into 3+2 chains to bound VMEM weight residency.
     fused_tails: bool = False
+    #: fuse the stride-2 entry bottlenecks of layers 2-3 into their chains
+    #: too ("s2ds" kernel blocks — conv3x3/s2 taps as stride-2
+    #: reshape-split slices), so layer2 runs as ONE program and layer3 as
+    #: entry+1 / 2 / 2. Requires fused_tails; layer4 stays in XLA (a single
+    #: 512-plane block's folded weights are ~12 MB — no VMEM headroom).
+    fused_entries: bool = False
 
     @nn.compact
     def __call__(
@@ -296,24 +302,39 @@ class ResNet50Backbone(nn.Module):
             if li in (1, 2) and use_tails:
                 from avcer_tpu.ops.pallas.fused_resnet_kernel import fused_chain
 
-                # stride-2 entry bottleneck stays in XLA
-                h = TVBottleneck(planes, stride=stride, downsample=True,
-                                 dtype=self.dtype,
-                                 name=f"layer{li + 1}_0")(h, train)
-                in_ch = planes * 4
-                tail = list(range(1, blocks))
+                if self.fused_entries and inference:
+                    # stride-2 entry fused into its chain ("s2ds"); layer3
+                    # takes only 1 id with the entry (the 1024-ch folded
+                    # weights are ~2.2 MB/block — VMEM residency cap)
+                    first = blocks if li == 1 else 2
+                    chunks = [list(range(first))]
+                    tail = list(range(first, blocks))
+                else:
+                    # stride-2 entry bottleneck stays in XLA
+                    h = TVBottleneck(planes, stride=stride, downsample=True,
+                                     dtype=self.dtype,
+                                     name=f"layer{li + 1}_0")(h, train)
+                    in_ch = planes * 4
+                    chunks = []
+                    tail = list(range(1, blocks))
                 # cap chains at 3 blocks: bounds per-call VMEM weight
                 # residency (layer3's 1024-ch conv3 weights are ~2.2 MB
                 # per block)
                 while tail:
                     chunk, tail = tail[:3], tail[3:]
+                    chunks.append(chunk)
+                for chunk in chunks:
+                    kinds = tuple(
+                        "s2ds" if bi == 0 else "id" for bi in chunk
+                    )
                     h = fused_chain(
                         h.astype(self.dtype),
                         fold_blocks(li, chunk, planes),
-                        ("id",) * len(chunk),
+                        kinds,
                         interpret=interp,
                         band=16 if li == 2 else 24,
                     )
+                    in_ch = planes * 4
                 outs.append(h)
                 continue
             for bi in range(blocks):
@@ -462,6 +483,9 @@ class RetinaFace(nn.Module):
     #: also fuse the stride-1 identity tails of layers 2-3
     #: (ResNet50Backbone.fused_tails).
     fused_tails: bool = False
+    #: fuse the stride-2 entry bottlenecks of layers 2-3 too
+    #: (ResNet50Backbone.fused_entries; requires fused_tails).
+    fused_entries: bool = False
     #: dynamically-quantized int8 serving path (layers.int8_conv): backbone +
     #: FPN + SSH convs run int8 on the MXU (~1.85x conv speedup on v5e);
     #: heads stay bf16 for box-regression precision. Same checkpoint tree as
@@ -474,6 +498,7 @@ class RetinaFace(nn.Module):
             feats = ResNet50Backbone(
                 dtype=self.dtype, s2d_stem=self.s2d_stem, quant=self.quant,
                 fused_layer1=self.fused_layer1, fused_tails=self.fused_tails,
+                fused_entries=self.fused_entries,
                 name="body",
             )(x, train)
             out_ch = 256

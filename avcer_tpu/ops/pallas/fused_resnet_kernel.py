@@ -30,8 +30,25 @@ Entry points:
   64 planes, downsample projection on the first — behavior contract:
   /root/reference/src/data/face_detection/ibug/face_detection/retina_face/
   retina_face.py:60, IntermediateLayerGetter over tv resnet50);
-- ``fused_chain``: any stride-1 bottleneck chain — used for the identity
-  tails of layers 2-3 (their stride-2 entry blocks stay in XLA).
+- ``fused_chain``: any bottleneck chain — stride-1 chains for the identity
+  tails of layers 2-3, or a chain whose FIRST block is a stride-2 entry
+  bottleneck, so whole layers fuse. Two entry conventions exist in the
+  reference stacks:
+  * ``"s2ds"`` — torchvision v1.5 (RetinaFace backbone): stride on the
+    3x3 conv (p1) + 1x1/s2 projection residual;
+  * ``"s2pre"`` — TF v1 (emotion CNN, architectures/video.py): stride on
+    conv1 AND the projection (both 1x1/s2 VALID), 3x3 stays stride-1 SAME
+    — so the whole block collapses to a stride-2 subsample of the input
+    band followed by an ordinary ``"ds"`` block at output resolution.
+  Stride-2 slices of VMEM values are expressed as slice-then-reshape-split
+  (``a[k:k+2m].reshape(m, 2, ...)[:, 0]``), the form Mosaic lowers without
+  strided-gather support.
+
+Stride-2 band geometry: output band rows ``[q0, q0+TH)`` after the entry
+block need entry-output rows ``[q0-n1, q0+TH+n1)`` (n1 = following
+stride-1 blocks), whose conv3x3/s2/p1 taps read input rows
+``[2*(q0-n1)-1, 2*(q0+TH+n1-1)+1]`` — a band of ``2*(TH+2*n1)+2`` rows
+DMA'd from the zero-padded HBM copy at offset ``2*q0``.
 """
 
 from __future__ import annotations
@@ -68,23 +85,35 @@ def _conv3x3(a, w, inv, shift):
     return jnp.maximum(y, 0).reshape(r - 2, c - 2, co)
 
 
-def _mask_oof(a, r0, off, h, w):
+def _mask_oof(a, row0, col0, h, w):
     """Zero positions outside the real frame (conv zero-padding semantics).
 
-    Band-array position (s, c) holds frame pixel (r0 + s - off, c - off);
+    Band-array position (s, c) holds frame pixel (row0 + s, col0 + c);
     anything outside [0,h) x [0,w) must be zero before entering a 3x3 conv.
     """
     rows = jax.lax.broadcasted_iota(jnp.int32, a.shape[:2], 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, a.shape[:2], 1)
-    fr = r0 + rows - off
-    fc = cols - off
+    fr = row0 + rows
+    fc = col0 + cols
     ok = (fr >= 0) & (fr < h) & (fc >= 0) & (fc < w)
     return jnp.where(ok[..., None], a, jnp.zeros((), a.dtype))
 
 
-def _kernel(xp_hbm, *refs, th: int, h: int, w: int, blocks: tuple[str, ...]):
+def _take_s2(a, ky: int, kx: int, ro: int, co: int):
+    """Stride-2 tap slice a[ky::2, kx::2][:ro, :co] via slice-then-
+    reshape-split (Mosaic has no strided VMEM slicing). Needs
+    a.shape[0] >= ky + 2*ro and a.shape[1] >= kx + 2*co (ky, kx <= 2, so
+    the band carries 2 extra rows/cols)."""
+    rows = a[ky:ky + 2 * ro].reshape(ro, 2, *a.shape[1:])[:, 0]
+    return rows[:, kx:kx + 2 * co].reshape(ro, co, 2, a.shape[-1])[:, :, 0]
+
+
+def _kernel(xp_hbm, *refs, th: int, h: int, w: int, blocks: tuple[str, ...],
+            hin: int = 0, win: int = 0):
     n = len(blocks)
-    n_w = sum(12 if b == "ds" else 9 for b in blocks)
+    s2 = blocks[0] in ("s2ds", "s2pre")
+    n1 = n - 1
+    n_w = sum(12 if b in ("ds", "s2ds", "s2pre") else 9 for b in blocks)
     w_refs = refs[:n_w]
     o_ref, xb, sem = refs[n_w], refs[n_w + 1], refs[n_w + 2]
     vals = [r[:] for r in w_refs]
@@ -93,20 +122,48 @@ def _kernel(xp_hbm, *refs, th: int, h: int, w: int, blocks: tuple[str, ...]):
     rb = pl.program_id(1)
     r0 = rb * th
 
-    dma = pltpu.make_async_copy(xp_hbm.at[b, pl.ds(r0, th + 2 * n)], xb, sem)
+    dma = pltpu.make_async_copy(
+        xp_hbm.at[b, pl.ds(2 * r0 if s2 else r0, xb.shape[0])], xb, sem)
     dma.start()
     dma.wait()
 
-    cur = xb[:]                                  # (th+2n, w+2n, in_ch)
+    cur = xb[:]                                  # band at input resolution
+    if blocks[0] == "s2pre":
+        # conv1/projection stride-2 (TF v1): both read input (2j, 2i) only,
+        # so subsample once and the whole chain runs at output resolution.
+        cur = _take_s2(cur, 0, 0, th + 2 * n, w + 2 * n)
+        blocks = ("ds",) + blocks[1:]
     off = n
     for kind in blocks:
-        take = 12 if kind == "ds" else 9
-        (w1, i1, s1, w2, i2, s2, w3, i3, s3, *ds_w) = vals[:take]
+        take = 12 if kind in ("ds", "s2ds") else 9
+        (w1, i1, s1, w2, i2, s2w, w3, i3, s3, *ds_w) = vals[:take]
         del vals[:take]
         r, c, ci = cur.shape
+        if kind == "s2ds":
+            # stride-2 entry bottleneck: 1x1 at input res, masked, 3x3/s2
+            # as 9 stride-2 tap matmuls, 1x1/s2 projection residual.
+            ro, co = th + 2 * n1, (w + 2 * n1)
+            t1 = _mm(cur.reshape(r * c, ci), w1, i1, s1).reshape(r, c, -1)
+            t1 = _mask_oof(t1, 2 * r0 - 2 * n1 - 1, -(2 * n1 + 1), hin, win)
+            p = t1.shape[-1]
+            m = ro * co
+            acc = jnp.zeros((m, w2.shape[-1]), jnp.float32)
+            for ky in range(3):
+                for kx in range(3):
+                    sl = _take_s2(t1, ky, kx, ro, co).reshape(m, p)
+                    acc = acc + jnp.dot(sl, w2[ky, kx],
+                                        preferred_element_type=jnp.float32)
+            t2 = jnp.maximum(acc.astype(w2.dtype) * i2 + s2w, 0)
+            y = _mm(t2, w3, i3, s3, relu=False)
+            wd, idv, sd = ds_w
+            res = _mm(_take_s2(cur, 1, 1, ro, co).reshape(m, ci),
+                      wd, idv, sd, relu=False)
+            cur = jnp.maximum(y + res, 0).reshape(ro, co, y.shape[-1])
+            off = n1
+            continue
         t1 = _mm(cur.reshape(r * c, ci), w1, i1, s1).reshape(r, c, -1)
-        t1 = _mask_oof(t1, r0, off, h, w)
-        t2 = _conv3x3(t1, w2, i2, s2)            # (r-2, c-2, p)
+        t1 = _mask_oof(t1, r0 - off, -off, h, w)
+        t2 = _conv3x3(t1, w2, i2, s2w)           # (r-2, c-2, p)
         m = (r - 2) * (c - 2)
         y = _mm(t2.reshape(m, -1), w3, i3, s3, relu=False)
         if kind == "ds":
@@ -139,36 +196,67 @@ def _pick_band(h: int, cap: int = 32) -> int:
 def fused_chain(
     x: jax.Array,        # [B, H, W, Cin] compute-dtype NHWC
     folded: tuple,       # flat (w, inv, shift[, ds triple]) per block
-    blocks: tuple[str, ...],  # "ds" (projection residual) | "id" (identity)
+    blocks: tuple[str, ...],  # "s2ds" (stride-2 entry, first only) |
+                              # "ds" (projection residual) | "id" (identity)
     interpret: bool = False,
     band: int = 32,
 ) -> jax.Array:
     bsz, h, w, _ = x.shape
     n = len(blocks)
-    th = _pick_band(h, band)
-    nb = -(-h // th)
-    hp = nb * th
-    xp = jnp.pad(x, ((0, 0), (n, n + hp - h), (n, n), (0, 0)))
     dtype = x.dtype
     c_out = folded[6].shape[-1]  # first block conv3 out channels
+    s2 = blocks[0] in ("s2ds", "s2pre")
+    if s2:
+        if any(b != "id" for b in blocks[1:]):
+            raise ValueError("a stride-2 entry must be the single entry block")
+        n1 = n - 1
+        ho, wo = (h + 1) // 2, (w + 1) // 2       # stride-2 out dims
+        th = _pick_band(ho, band)
+        nb = -(-ho // th)
+        hp = nb * th
+        if blocks[0] == "s2ds":
+            # 3x3/s2/p1 taps read input rows [2*(q0-n1)-1, 2*(q0+th+n1-1)+1]
+            pad_r = (2 * n1 + 1, 2 * hp + 2 * n1 + 1 - h)
+            pad_c = (2 * n1 + 1, 2 * wo + 2 * n1 + 1 - w)
+            scratch_rows = 2 * (th + 2 * n1) + 2
+            scratch_cols = 2 * (wo + 2 * n1) + 2
+        else:
+            # 1x1/s2 entry reads input rows 2*(q0-n+t): halo n at OUTPUT
+            # resolution (every block's 3x3 runs post-subsample)
+            pad_r = (2 * n, 2 * hp + 2 * n - h)
+            pad_c = (2 * n, 2 * wo + 2 * n - w)
+            scratch_rows = 2 * (th + 2 * n)
+            scratch_cols = 2 * (wo + 2 * n)
+        kern = functools.partial(_kernel, th=th, h=ho, w=wo, blocks=blocks,
+                                 hin=h, win=w)
+        out_w, out_h = wo, ho
+    else:
+        th = _pick_band(h, band)
+        nb = -(-h // th)
+        hp = nb * th
+        pad_r, pad_c = (n, n + hp - h), (n, n)
+        scratch_rows, scratch_cols = th + 2 * n, w + 2 * n
+        kern = functools.partial(_kernel, th=th, h=h, w=w, blocks=blocks)
+        out_w, out_h = w, h
+    xp = jnp.pad(x, ((0, 0), pad_r, pad_c, (0, 0)))
 
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in folded]
     out = pl.pallas_call(
-        functools.partial(_kernel, th=th, h=h, w=w, blocks=blocks),
+        kern,
         grid=(bsz, nb),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + w_specs,
         out_specs=pl.BlockSpec(
-            (1, th, w, c_out), lambda b, r: (b, r, 0, 0),
+            (1, th, out_w, c_out), lambda b, r: (b, r, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, hp, w, c_out), dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, out_w, c_out), dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * n, w + 2 * n, x.shape[-1]), dtype),
+            pltpu.VMEM((scratch_rows, scratch_cols, x.shape[-1]), dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(xp, *folded)
-    return out[:, :h] if hp != h else out
+    return out[:, :out_h] if hp != out_h else out
 
 
 def fused_layer1(

@@ -70,6 +70,9 @@ class DetectStage:
             and mesh is None,
             fused_tails=bool(cfg.fused_tails) and cfg.quant != "int8"
             and mesh is None,
+            fused_entries=bool(getattr(cfg, "fused_entries", False))
+            and bool(cfg.fused_tails) and cfg.quant != "int8"
+            and mesh is None,
         )
         self.mesh = mesh
         if mesh is not None:

@@ -102,6 +102,7 @@ class Pipeline:
             dtype=dt(cfg.visual.dtype), batch_size=cfg.visual.batch_size, mesh=mesh,
             quant=cfg.visual.quant, s2d_stem=cfg.visual.s2d_stem,
             fused=cfg.visual.fused,
+            fused_entries=getattr(cfg.visual, "fused_entries", False),
         )
         self.audio = AudioStage(
             audio_vars, cfg.audio, wav2vec2_config, dtype=dt(cfg.audio.dtype),

@@ -108,6 +108,7 @@ class VisualStage:
         quant: str = "none",
         s2d_stem: bool | str = False,
         fused: bool = False,
+        fused_entries: bool = False,
     ):
         if s2d_stem == "auto":
             import jax as _jax
@@ -119,6 +120,8 @@ class VisualStage:
             s2d_stem=bool(s2d_stem),
             # single-chip only (pallas_call has no mesh partitioning rule)
             fused=bool(fused) and quant != "int8" and mesh is None,
+            fused_entries=bool(fused_entries) and bool(fused)
+            and quant != "int8" and mesh is None,
         )
         self.lstm_model = TemporalLSTM(num_classes=num_classes, dtype=dtype)
         self.mesh = mesh

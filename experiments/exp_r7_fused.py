@@ -154,12 +154,18 @@ def main() -> None:
     x448 = jnp.asarray(rng.standard_normal((32, 256, 448, 3)), jnp.bfloat16)
     np.asarray(x448[0, 0, 0])
     rv = None
-    for fused1, tails, tag2 in ((False, False, "fused0"),
-                                (True, False, "fused1"),
-                                (True, True, "fused1t"),
-                                (False, True, "fused0t")):
+    for fused1, tails, entries, tag2 in (
+            (False, False, False, "fused0"),
+            (True, False, False, "fused1"),
+            (True, True, False, "fused1t"),
+            (False, True, False, "fused0t"),
+            # stride-2 entries fused too: layer2 as ONE program, layer3 as
+            # entry+1/2/2 ("s2ds" blocks — needs the Mosaic stride-2 probe
+            # above to hold on hardware)
+            (True, True, True, "fused1te")):
         rf = RetinaFace(backbone="resnet50", dtype=jnp.bfloat16,
-                        fused_layer1=fused1, fused_tails=tails)
+                        fused_layer1=fused1, fused_tails=tails,
+                        fused_entries=entries)
         if rv is None:
             rv = jax.device_put(
                 rf.init(key, jnp.zeros((1, 64, 64, 3), jnp.float32)))
@@ -179,17 +185,20 @@ def main() -> None:
     xc = jnp.asarray(rng.standard_normal((256, 224, 224, 3)) * 60, jnp.bfloat16)
     np.asarray(xc[0, 0, 0])
     ev = None
-    for fused in (False, True):
-        em = EmotionResNet50(num_classes=7, dtype=jnp.bfloat16, fused=fused)
+    for fused, entries, tag in ((False, False, "fused0"),
+                                (True, False, "fused1"),
+                                (True, True, "fused1e")):
+        em = EmotionResNet50(num_classes=7, dtype=jnp.bfloat16, fused=fused,
+                             fused_entries=entries)
         if ev is None:
             ev = jax.device_put(
                 em.init(key, jnp.zeros((1, 224, 224, 3), jnp.float32)))
         try:
             sec = time_looped(lambda x: em.apply(ev, x), xc, 100)
-            emit({"name": f"loop_cnn_224_fused{int(fused)}",
+            emit({"name": f"loop_cnn_224_{tag}",
                   "ms_per_frame": round(sec / 256 * 1e3, 4)})
         except Exception as e:  # noqa: BLE001
-            emit({"name": f"loop_cnn_224_fused{int(fused)}",
+            emit({"name": f"loop_cnn_224_{tag}",
                   "error": repr(e)[:300]})
 
     emit({"name": "done_r7"})

@@ -81,6 +81,110 @@ def test_fused_tails_match_xla(rng):
         )
 
 
+def test_fused_entries_match_xla(rng):
+    """fused_entries ("s2ds" blocks: the stride-2 entry bottlenecks of
+    layers 2-3 fused into their chains — layer2 as ONE program, layer3 as
+    entry+1/2/2 chunks) reproduces the exact backbone, including odd
+    feature dims (64x48 input -> 45->23->12-row stage maps exercise the
+    ceil-div output rule and padded-band tails)."""
+    exact, fused = _layer1_backbones(
+        jnp.float32, fused_tails=True, fused_entries=True)
+    x = jnp.asarray(rng.normal(size=(1, 64, 48, 3)).astype(np.float32))
+    variables = exact.init(jax.random.PRNGKey(3), x)
+    want = exact.apply(variables, x)
+    got = fused.apply(variables, x)
+    for w_, g_ in zip(want, got):
+        np.testing.assert_allclose(
+            np.asarray(g_), np.asarray(w_), atol=2e-4, rtol=1e-3
+        )
+
+
+def test_fused_entries_same_init_tree(rng):
+    """fused_entries declares the identical parameter/stat tree — the
+    stride-2 entry blocks' folded declarations match TVBottleneck's."""
+    exact, fused = _layer1_backbones(
+        jnp.float32, fused_tails=True, fused_entries=True)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    va = exact.init(jax.random.PRNGKey(7), x)
+    vb = fused.init(jax.random.PRNGKey(7), x)
+    la, lb = jax.tree_util.tree_leaves_with_path(va), \
+        jax.tree_util.tree_leaves_with_path(vb)
+    assert [p for p, _ in la] == [p for p, _ in lb]
+    for (_, a), (_, b) in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_chain_s2pre_matches_tf_entry(rng):
+    """"s2pre" kernel blocks (TF-v1 stride placement: conv1 + projection
+    stride 2, 3x3 stride-1 SAME — the emotion CNN's convention) reproduce
+    the XLA Bottleneck chain, odd and even input dims."""
+    import flax.linen as nn
+
+    from avcer_tpu.models.emotion_resnet import Bottleneck
+    from avcer_tpu.models.retinaface import TVBottleneckFolded
+    from avcer_tpu.ops.pallas.fused_resnet_kernel import fused_chain
+
+    class Chain(nn.Module):
+        planes: int
+        n: int
+        fused: bool = False
+
+        @nn.compact
+        def __call__(self, x):
+            in_ch = x.shape[-1]
+            if self.fused:
+                folded = []
+                for bi in range(self.n):
+                    folded += TVBottleneckFolded(
+                        self.planes, downsample=bi == 0, dtype=jnp.float32,
+                        eps=1e-3, bn_prefix="batch_norm",
+                        name=f"b{bi}")(in_ch if bi == 0 else self.planes * 4)
+                flat = tuple(t for tr in folded for t in tr)
+                return fused_chain(
+                    x, flat, ("s2pre",) + ("id",) * (self.n - 1),
+                    interpret=True, band=8)
+            h = x
+            for bi in range(self.n):
+                h = Bottleneck(self.planes, stride=2 if bi == 0 else 1,
+                               downsample=bi == 0, dtype=jnp.float32,
+                               name=f"b{bi}")(h)
+            return h
+
+    key = jax.random.PRNGKey(0)
+    for (hh, ww, cin, planes, n) in [(25, 19, 16, 8, 3), (14, 14, 16, 8, 1)]:
+        x = jnp.asarray(rng.normal(size=(2, hh, ww, cin)).astype(np.float32))
+        ref = Chain(planes, n)
+        v = ref.init(key, jnp.zeros((1, 16, 16, cin), jnp.float32))
+        want = np.asarray(ref.apply(v, x))
+        got = np.asarray(Chain(planes, n, fused=True).apply(v, x))
+        assert want.shape == got.shape
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_emotion_cnn_entries_match_xla(rng):
+    """EmotionResNet50(fused=True, fused_entries=True): layers 2-3 fuse
+    WHOLE (stride-2 entries as "s2pre" blocks); layer4's entry stays in
+    XLA. Same outputs, same init tree."""
+    from avcer_tpu.models.emotion_resnet import EmotionResNet50
+
+    exact = EmotionResNet50(num_classes=7, dtype=jnp.float32)
+    fused = EmotionResNet50(num_classes=7, dtype=jnp.float32, fused=True,
+                            fused_entries=True)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32) * 50)
+    variables = exact.init(jax.random.PRNGKey(5), x)
+    want_l, want_f = exact.apply(variables, x)
+    got_l, got_f = fused.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               atol=2e-3, rtol=1e-3)
+    vb = fused.init(jax.random.PRNGKey(9), x)
+    va = exact.init(jax.random.PRNGKey(9), x)
+    la = jax.tree_util.tree_leaves_with_path(va)
+    lb = jax.tree_util.tree_leaves_with_path(vb)
+    assert [p for p, _ in la] == [p for p, _ in lb]
+
+
 def test_fused_emotion_cnn_matches_xla(rng):
     """EmotionResNet50(fused=True): layer1 whole + layer2-4 identity tails
     as fused chains (TF-flavored blocks: batch_norm names, eps 1e-3)

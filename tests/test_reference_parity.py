@@ -131,9 +131,10 @@ def test_real_expr_model_parity(rng, variant, num_classes, num_layers):
 @pytest.mark.slow
 @pytest.mark.parametrize("backbone,fused", [
     ("resnet50", False),
-    # fused=True routes layer1 + layer2/3 identity tails through the Pallas
-    # fused chains (interpret mode on CPU) — pins the kernel directly
-    # against the REAL reference network on converted real-layout weights
+    # fused=True routes layer1 + whole layers 2-3 (stride-2 entries
+    # included, "s2ds" blocks) through the Pallas fused chains (interpret
+    # mode on CPU) — pins the kernels directly against the REAL reference
+    # network on converted real-layout weights
     ("resnet50", True),
     ("mobilenet0.25", False),
 ])
@@ -151,7 +152,8 @@ def test_real_retinaface_parity(rng, backbone, fused):
 
     variables = convert.convert_retinaface(real.state_dict(), backbone=backbone)
     model = RetinaFace(backbone=backbone, dtype=jnp.float32,
-                       fused_layer1=fused, fused_tails=fused)
+                       fused_layer1=fused, fused_tails=fused,
+                       fused_entries=fused)
     loc, conf, landms = jax.jit(model.apply)(
         variables, jnp.asarray(x.transpose(0, 2, 3, 1))
     )
