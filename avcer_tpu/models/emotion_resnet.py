@@ -156,7 +156,9 @@ class EmotionResNet50(nn.Module):
 
         planes = (64, 128, 256, 512)
         in_ch = 64
-        use_fused = self.fused and not train and not self.quant
+        # fused chains serve both the exact path and calibrated int8
+        # (TVBottleneckFolded quant fold — same act_scales tree as QConv)
+        use_fused = self.fused and not train
         for li, (blocks, p) in enumerate(zip(self.layer_sizes, planes)):
             stride = 1 if li == 0 else 2
             if use_fused:
@@ -169,7 +171,7 @@ class EmotionResNet50(nn.Module):
                     # stride-2 projection entry stays in XLA
                     h_ = Bottleneck(
                         p, stride=stride, downsample=True, dtype=self.dtype,
-                        name=f"layer{li + 1}_0",
+                        quant=self.quant, name=f"layer{li + 1}_0",
                     )(h_, train)
                     in_ch = p * 4
                     start = 1
@@ -178,15 +180,18 @@ class EmotionResNet50(nn.Module):
                 while tail:
                     chunk, tail = tail[:chunk_n], tail[chunk_n:]
                     flat: list = []
+                    sxs: list = []
                     for bi in chunk:
-                        flat += [
-                            t for tr in TVBottleneckFolded(
-                                p, downsample=bi == 0, dtype=self.dtype,
-                                eps=BN_EPS, bn_prefix="batch_norm",
-                                name=f"layer{li + 1}_{bi}",
-                            )(in_ch if bi == 0 else p * 4)
-                            for t in tr
-                        ]
+                        got = TVBottleneckFolded(
+                            p, downsample=bi == 0, dtype=self.dtype,
+                            eps=BN_EPS, bn_prefix="batch_norm",
+                            quant=self.quant,
+                            name=f"layer{li + 1}_{bi}",
+                        )(in_ch if bi == 0 else p * 4)
+                        if self.quant:
+                            got, sx = got
+                            sxs.append(sx)
+                        flat += [t for tr in got for t in tr]
                     h_ = fused_chain(
                         h_.astype(self.dtype), tuple(flat),
                         tuple(
@@ -194,6 +199,7 @@ class EmotionResNet50(nn.Module):
                             for bi in chunk
                         ),
                         interpret=jax.default_backend() == "cpu",
+                        act_s=jnp.concatenate(sxs) if sxs else None,
                     )
                     in_ch = p * 4
                 continue

@@ -73,15 +73,24 @@ class ConvBN(nn.Module):
 class _DeclConvKernel(nn.Module):
     """Declares the same 'kernel' param an (un-called) nn.Conv would —
     lets TVBottleneck's fold mode materialize an identical parameter tree
-    (same names, shapes, and path-derived init) without running the convs."""
+    (same names, shapes, and path-derived init) without running the convs.
+    With ``quant`` it also declares the QConv-compatible act_scales/amax
+    variable (same path), so calibrated int8 checkpoints transfer."""
 
     shape: tuple[int, int, int, int]
+    quant: bool = False
 
     @nn.compact
-    def __call__(self) -> jax.Array:
-        return self.param(
+    def __call__(self):
+        k = self.param(
             "kernel", nn.initializers.lecun_normal(), self.shape, jnp.float32
         )
+        if not self.quant:
+            return k
+        amax = self.variable(
+            "act_scales", "amax", lambda: jnp.asarray(0.0, jnp.float32)
+        )
+        return k, amax.value
 
 
 class _DeclBN(nn.Module):
@@ -118,31 +127,61 @@ class TVBottleneckFolded(nn.Module):
     #: BN child-name prefix: "bn" (torchvision RetinaFace backbone) or
     #: "batch_norm" (the TF-flavored emotion ResNet, same fold semantics)
     bn_prefix: str = "bn"
+    #: int8 fold (layers.int8_conv semantics: per-output-channel symmetric
+    #: weight scales, per-tensor CALIBRATED activation scale from the
+    #: act_scales collection). Per conv, returns (wq int8, mult, shift)
+    #: where mult = sx*sw*bn_inv folds the dequant into the BN scale, plus
+    #: a separate sx vector (the kernel needs raw sx to QUANTIZE inputs).
+    quant: bool = False
 
     @nn.compact
     def __call__(self, in_ch: int):
-        def conv_k(name: str, k: int, cin: int, cout: int) -> jax.Array:
-            w = _DeclConvKernel((k, k, cin, cout), name=name)()
-            return (w[0, 0] if k == 1 else w).astype(self.dtype)
+        sxs: list = []
 
-        def bn_fold(name: str, cout: int):
+        def conv_k(name: str, k: int, cin: int, cout: int):
+            got = _DeclConvKernel((k, k, cin, cout), quant=self.quant,
+                                  name=name)()
+            if not self.quant:
+                w = got
+                return (w[0, 0] if k == 1 else w).astype(self.dtype)
+            w, amax = got
+            w = w[0, 0] if k == 1 else w
+            red = tuple(range(w.ndim - 1))
+            sw = jnp.max(jnp.abs(w), axis=red) / 127.0
+            sw = jnp.maximum(sw, 1e-10)
+            wq = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
+            sx = jnp.maximum(amax.astype(jnp.float32) / 127.0, 1e-10)
+            sxs.append(sx)
+            return wq, sw * sx
+
+        def bn_fold(name: str, cout: int, dequant=None):
             scale, bias, mean, var = _DeclBN(name=name)(cout)
             inv = scale * jax.lax.rsqrt(var + self.eps)
             shift = bias - mean * inv
+            if dequant is not None:  # int8: mult = sx*sw*inv, all f32
+                return (dequant * inv).reshape(1, -1), shift.reshape(1, -1)
             return (inv.reshape(1, -1).astype(self.dtype),
                     shift.reshape(1, -1).astype(self.dtype))
 
         p, bn = self.planes, self.bn_prefix
+
+        def entry(cname, bname, k, cin, cout):
+            got = conv_k(cname, k, cin, cout)
+            if self.quant:
+                wq, dq = got
+                return (wq, *bn_fold(bname, cout, dequant=dq))
+            return (got, *bn_fold(bname, cout))
+
         out = [
-            (conv_k("conv1", 1, in_ch, p), *bn_fold(f"{bn}1", p)),
-            (conv_k("conv2", 3, p, p), *bn_fold(f"{bn}2", p)),
-            (conv_k("conv3", 1, p, p * 4), *bn_fold(f"{bn}3", p * 4)),
+            entry("conv1", f"{bn}1", 1, in_ch, p),
+            entry("conv2", f"{bn}2", 3, p, p),
+            entry("conv3", f"{bn}3", 1, p, p * 4),
         ]
         if self.downsample:
-            out.append(
-                (conv_k("downsample_conv", 1, in_ch, p * 4),
-                 *bn_fold("downsample_bn", p * 4))
-            )
+            out.append(entry("downsample_conv", "downsample_bn", 1,
+                             in_ch, p * 4))
+        if self.quant:
+            return out, jnp.stack(sxs)
         return out
 
 
@@ -269,33 +308,41 @@ class ResNet50Backbone(nn.Module):
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         outs = []
         in_ch = 64
-        inference = not train and not self.quant
+        # fused chains run in inference for both the exact bf16 path and
+        # the calibrated-int8 path (TVBottleneckFolded quant mode: same
+        # act_scales tree as the QConv path)
+        inference = not train
         use_fused1 = self.fused_layer1 and inference
         use_tails = self.fused_tails and inference
         interp = jax.default_backend() == "cpu"
 
-        def fold_blocks(li: int, bis: range, planes: int) -> tuple:
+        def fold_blocks(li: int, bis, planes: int):
+            """-> (flat folded weights, act_s or None) for a chunk."""
             flat: list = []
+            sxs: list = []
             for bi in bis:
-                flat += [
-                    t for triple in TVBottleneckFolded(
-                        planes, downsample=bi == 0, dtype=self.dtype,
-                        name=f"layer{li + 1}_{bi}",
-                    )(in_ch if bi == 0 else planes * 4)
-                    for t in triple
-                ]
-            return tuple(flat)
+                got = TVBottleneckFolded(
+                    planes, downsample=bi == 0, dtype=self.dtype,
+                    quant=self.quant,
+                    name=f"layer{li + 1}_{bi}",
+                )(in_ch if bi == 0 else planes * 4)
+                if self.quant:
+                    got, sx = got
+                    sxs.append(sx)
+                flat += [t for triple in got for t in triple]
+            return tuple(flat), (jnp.concatenate(sxs) if sxs else None)
 
         for li, (blocks, planes) in enumerate(
             zip((3, 4, 6, 3), (64, 128, 256, 512))
         ):
             stride = 1 if li == 0 else 2
             if li == 0 and use_fused1:
-                from avcer_tpu.ops.pallas.fused_resnet_kernel import fused_layer1
+                from avcer_tpu.ops.pallas.fused_resnet_kernel import fused_chain
 
-                h = fused_layer1(
-                    h.astype(self.dtype), fold_blocks(0, range(blocks), planes),
-                    interpret=interp,
+                flat, act_s = fold_blocks(0, range(blocks), planes)
+                h = fused_chain(
+                    h.astype(self.dtype), flat, ("ds", "id", "id"),
+                    interpret=interp, act_s=act_s,
                 )
                 in_ch = planes * 4
                 continue
@@ -312,7 +359,7 @@ class ResNet50Backbone(nn.Module):
                 else:
                     # stride-2 entry bottleneck stays in XLA
                     h = TVBottleneck(planes, stride=stride, downsample=True,
-                                     dtype=self.dtype,
+                                     dtype=self.dtype, quant=self.quant,
                                      name=f"layer{li + 1}_0")(h, train)
                     in_ch = planes * 4
                     chunks = []
@@ -327,12 +374,14 @@ class ResNet50Backbone(nn.Module):
                     kinds = tuple(
                         "s2ds" if bi == 0 else "id" for bi in chunk
                     )
+                    flat, act_s = fold_blocks(li, chunk, planes)
                     h = fused_chain(
                         h.astype(self.dtype),
-                        fold_blocks(li, chunk, planes),
+                        flat,
                         kinds,
                         interpret=interp,
                         band=16 if li == 2 else 24,
+                        act_s=act_s,
                     )
                     in_ch = planes * 4
                 outs.append(h)

@@ -70,6 +70,36 @@ def _mm(a2d, w, inv, shift, relu=True):
     return jnp.maximum(y, 0) if relu else y
 
 
+def _q_acc_dtype():
+    """int32 on hardware; f32 accumulation of the EXACT int8 values under
+    the CPU drift-study knob (layers._int8_f32_accum: XLA:CPU int8 dots are
+    scalar-emulated ~50x slower; f32 products of int8 values are exact and
+    sums stay exact below 2^24)."""
+    from avcer_tpu.models.layers import _int8_f32_accum
+
+    return jnp.float32 if _int8_f32_accum() else jnp.int32
+
+
+def _quant(a, sx, idt=jnp.int8):
+    """layers.int8_conv's symmetric per-tensor activation quantize with a
+    CALIBRATED static scale (round -> clip -> int8)."""
+    return jnp.clip(jnp.round(a.astype(jnp.float32) / sx), -127, 127
+                    ).astype(idt)
+
+
+def _mm_q(a2d, sx, wq, mult, shift, dtype, relu=True):
+    """int8 conv-as-matmul: quantize the bf16 activation with the static
+    scale, int8 x int8 -> int32 on the MXU, then one fused
+    dequant+BatchNorm multiply (mult = sx*sw*bn_inv, f32) — the XLA int8
+    path's math with the dequant and BN rounding steps merged (the only
+    deviation from layers.int8_conv + TorchBatchNorm; gated by test)."""
+    acc_dt = _q_acc_dtype()
+    aq = _quant(a2d, sx, jnp.int8 if acc_dt == jnp.int32 else jnp.float32)
+    acc = jnp.dot(aq, wq.astype(aq.dtype), preferred_element_type=acc_dt)
+    y = (acc.astype(jnp.float32) * mult + shift).astype(dtype)
+    return jnp.maximum(y, 0) if relu else y
+
+
 def _conv3x3(a, w, inv, shift):
     """3x3/s1 VALID conv over a (r, c, ci) band as 9 shifted matmuls."""
     r, c, ci = a.shape
@@ -82,6 +112,24 @@ def _conv3x3(a, w, inv, shift):
             acc = acc + jnp.dot(sl, w[ky, kx],
                                 preferred_element_type=jnp.float32)
     y = acc.astype(w.dtype) * inv + shift
+    return jnp.maximum(y, 0).reshape(r - 2, c - 2, co)
+
+
+def _conv3x3_q(a, sx, wq, mult, shift, dtype):
+    """int8 3x3/s1 VALID conv: the band quantizes ONCE (per-tensor static
+    scale), then 9 shifted int8 tap matmuls accumulate in int32."""
+    r, c, ci = a.shape
+    co = wq.shape[-1]
+    m = (r - 2) * (c - 2)
+    acc_dt = _q_acc_dtype()
+    aq = _quant(a, sx, jnp.int8 if acc_dt == jnp.int32 else jnp.float32)
+    acc = jnp.zeros((m, co), acc_dt)
+    for ky in range(3):
+        for kx in range(3):
+            sl = aq[ky:ky + r - 2, kx:kx + c - 2, :].reshape(m, ci)
+            acc = acc + jnp.dot(sl, wq[ky, kx].astype(aq.dtype),
+                                preferred_element_type=acc_dt)
+    y = (acc.astype(jnp.float32) * mult + shift).astype(dtype)
     return jnp.maximum(y, 0).reshape(r - 2, c - 2, co)
 
 
@@ -109,14 +157,24 @@ def _take_s2(a, ky: int, kx: int, ro: int, co: int):
 
 
 def _kernel(xp_hbm, *refs, th: int, h: int, w: int, blocks: tuple[str, ...],
-            hin: int = 0, win: int = 0):
+            hin: int = 0, win: int = 0, quant: bool = False):
     n = len(blocks)
     s2 = blocks[0] in ("s2ds", "s2pre")
     n1 = n - 1
     n_w = sum(12 if b in ("ds", "s2ds", "s2pre") else 9 for b in blocks)
     w_refs = refs[:n_w]
-    o_ref, xb, sem = refs[n_w], refs[n_w + 1], refs[n_w + 2]
+    rest = refs[n_w:]
+    if quant:
+        sx_ref, rest = rest[0], rest[1:]
+    o_ref, xb, sem = rest[0], rest[1], rest[2]
     vals = [r[:] for r in w_refs]
+    sx_i = 0
+
+    def next_sx():
+        nonlocal sx_i
+        v = sx_ref[sx_i]
+        sx_i += 1
+        return v
 
     b = pl.program_id(0)
     rb = pl.program_id(1)
@@ -128,6 +186,7 @@ def _kernel(xp_hbm, *refs, th: int, h: int, w: int, blocks: tuple[str, ...],
     dma.wait()
 
     cur = xb[:]                                  # band at input resolution
+    out_dt = cur.dtype
     if blocks[0] == "s2pre":
         # conv1/projection stride-2 (TF v1): both read input (2j, 2i) only,
         # so subsample once and the whole chain runs at output resolution.
@@ -143,33 +202,64 @@ def _kernel(xp_hbm, *refs, th: int, h: int, w: int, blocks: tuple[str, ...],
             # stride-2 entry bottleneck: 1x1 at input res, masked, 3x3/s2
             # as 9 stride-2 tap matmuls, 1x1/s2 projection residual.
             ro, co = th + 2 * n1, (w + 2 * n1)
-            t1 = _mm(cur.reshape(r * c, ci), w1, i1, s1).reshape(r, c, -1)
+            m = ro * co
+            if quant:
+                t1 = _mm_q(cur.reshape(r * c, ci), next_sx(), w1, i1, s1,
+                           out_dt).reshape(r, c, -1)
+            else:
+                t1 = _mm(cur.reshape(r * c, ci), w1, i1, s1).reshape(r, c, -1)
             t1 = _mask_oof(t1, 2 * r0 - 2 * n1 - 1, -(2 * n1 + 1), hin, win)
             p = t1.shape[-1]
-            m = ro * co
-            acc = jnp.zeros((m, w2.shape[-1]), jnp.float32)
+            if quant:
+                qdt = _q_acc_dtype()
+                t1 = _quant(t1, next_sx(),
+                            jnp.int8 if qdt == jnp.int32 else jnp.float32)
+                w2 = w2.astype(t1.dtype)
+                acc = jnp.zeros((m, w2.shape[-1]), qdt)
+            else:
+                acc = jnp.zeros((m, w2.shape[-1]), jnp.float32)
             for ky in range(3):
                 for kx in range(3):
                     sl = _take_s2(t1, ky, kx, ro, co).reshape(m, p)
                     acc = acc + jnp.dot(sl, w2[ky, kx],
-                                        preferred_element_type=jnp.float32)
-            t2 = jnp.maximum(acc.astype(w2.dtype) * i2 + s2w, 0)
-            y = _mm(t2, w3, i3, s3, relu=False)
-            wd, idv, sd = ds_w
-            res = _mm(_take_s2(cur, 1, 1, ro, co).reshape(m, ci),
-                      wd, idv, sd, relu=False)
+                                        preferred_element_type=acc.dtype)
+            if quant:
+                t2 = jnp.maximum(
+                    (acc.astype(jnp.float32) * i2 + s2w).astype(out_dt), 0)
+                y = _mm_q(t2, next_sx(), w3, i3, s3, out_dt, relu=False)
+                wd, idv, sd = ds_w
+                res = _mm_q(_take_s2(cur, 1, 1, ro, co).reshape(m, ci),
+                            next_sx(), wd, idv, sd, out_dt, relu=False)
+            else:
+                t2 = jnp.maximum(acc.astype(w2.dtype) * i2 + s2w, 0)
+                y = _mm(t2, w3, i3, s3, relu=False)
+                wd, idv, sd = ds_w
+                res = _mm(_take_s2(cur, 1, 1, ro, co).reshape(m, ci),
+                          wd, idv, sd, relu=False)
             cur = jnp.maximum(y + res, 0).reshape(ro, co, y.shape[-1])
             off = n1
             continue
-        t1 = _mm(cur.reshape(r * c, ci), w1, i1, s1).reshape(r, c, -1)
-        t1 = _mask_oof(t1, r0 - off, -off, h, w)
-        t2 = _conv3x3(t1, w2, i2, s2w)           # (r-2, c-2, p)
         m = (r - 2) * (c - 2)
-        y = _mm(t2.reshape(m, -1), w3, i3, s3, relu=False)
+        if quant:
+            t1 = _mm_q(cur.reshape(r * c, ci), next_sx(), w1, i1, s1,
+                       out_dt).reshape(r, c, -1)
+            t1 = _mask_oof(t1, r0 - off, -off, h, w)
+            t2 = _conv3x3_q(t1, next_sx(), w2, i2, s2w, out_dt)
+            y = _mm_q(t2.reshape(m, -1), next_sx(), w3, i3, s3, out_dt,
+                      relu=False)
+        else:
+            t1 = _mm(cur.reshape(r * c, ci), w1, i1, s1).reshape(r, c, -1)
+            t1 = _mask_oof(t1, r0 - off, -off, h, w)
+            t2 = _conv3x3(t1, w2, i2, s2w)       # (r-2, c-2, p)
+            y = _mm(t2.reshape(m, -1), w3, i3, s3, relu=False)
         if kind == "ds":
             wd, idv, sd = ds_w
-            res = _mm(cur[1:r - 1, 1:c - 1, :].reshape(m, ci), wd, idv, sd,
-                      relu=False)
+            if quant:
+                res = _mm_q(cur[1:r - 1, 1:c - 1, :].reshape(m, ci),
+                            next_sx(), wd, idv, sd, out_dt, relu=False)
+            else:
+                res = _mm(cur[1:r - 1, 1:c - 1, :].reshape(m, ci), wd, idv,
+                          sd, relu=False)
         else:
             res = cur[1:r - 1, 1:c - 1, :].reshape(m, cur.shape[-1])
         cur = jnp.maximum(y + res, 0).reshape(r - 2, c - 2, y.shape[-1])
@@ -195,11 +285,15 @@ def _pick_band(h: int, cap: int = 32) -> int:
                    static_argnames=("blocks", "interpret", "band"))
 def fused_chain(
     x: jax.Array,        # [B, H, W, Cin] compute-dtype NHWC
-    folded: tuple,       # flat (w, inv, shift[, ds triple]) per block
-    blocks: tuple[str, ...],  # "s2ds" (stride-2 entry, first only) |
-                              # "ds" (projection residual) | "id" (identity)
+    folded: tuple,       # flat (w, inv, shift[, ds triple]) per block;
+                         # int8 mode: (wq int8, mult, shift) per conv
+    blocks: tuple[str, ...],  # "s2ds"/"s2pre" (stride-2 entry, first only)
+                              # | "ds" (projection residual) | "id" (identity)
     interpret: bool = False,
     band: int = 32,
+    act_s: jax.Array | None = None,  # [n_convs] f32 static activation
+                                     # scales -> int8 chain (layers.int8_conv
+                                     # semantics, TVBottleneckFolded quant)
 ) -> jax.Array:
     bsz, h, w, _ = x.shape
     n = len(blocks)
@@ -228,7 +322,7 @@ def fused_chain(
             scratch_rows = 2 * (th + 2 * n)
             scratch_cols = 2 * (wo + 2 * n)
         kern = functools.partial(_kernel, th=th, h=ho, w=wo, blocks=blocks,
-                                 hin=h, win=w)
+                                 hin=h, win=w, quant=act_s is not None)
         out_w, out_h = wo, ho
     else:
         th = _pick_band(h, band)
@@ -236,11 +330,16 @@ def fused_chain(
         hp = nb * th
         pad_r, pad_c = (n, n + hp - h), (n, n)
         scratch_rows, scratch_cols = th + 2 * n, w + 2 * n
-        kern = functools.partial(_kernel, th=th, h=h, w=w, blocks=blocks)
+        kern = functools.partial(_kernel, th=th, h=h, w=w, blocks=blocks,
+                                 quant=act_s is not None)
         out_w, out_h = w, h
     xp = jnp.pad(x, ((0, 0), pad_r, pad_c, (0, 0)))
 
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in folded]
+    operands = list(folded)
+    if act_s is not None:
+        w_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(act_s.astype(jnp.float32))
     out = pl.pallas_call(
         kern,
         grid=(bsz, nb),
@@ -255,7 +354,7 @@ def fused_chain(
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(xp, *folded)
+    )(xp, *operands)
     return out[:, :out_h] if hp != out_h else out
 
 

@@ -65,14 +65,25 @@ class DetectStage:
             quant=cfg.quant == "int8",
             # single-chip only: a pallas_call under the sharded-batch mesh
             # jit has no partitioning rule, so XLA would all-gather the
-            # batch onto every chip instead of splitting the kernel grid
-            fused_layer1=bool(cfg.fused_layer1) and cfg.quant != "int8"
-            and mesh is None,
-            fused_tails=bool(cfg.fused_tails) and cfg.quant != "int8"
-            and mesh is None,
+            # batch onto every chip instead of splitting the kernel grid.
+            # Under int8 the chains run TVBottleneckFolded's quant fold —
+            # same act_scales tree as the QConv path.
+            fused_layer1=bool(cfg.fused_layer1) and mesh is None,
+            fused_tails=bool(cfg.fused_tails) and mesh is None,
             fused_entries=bool(getattr(cfg, "fused_entries", False))
-            and bool(cfg.fused_tails) and cfg.quant != "int8"
-            and mesh is None,
+            and bool(cfg.fused_tails) and mesh is None,
+        )
+        # act_scales collection must run through the QConv path (the folded
+        # declarations never UPDATE the running max) — a fused-free twin
+        # over the same variables serves every calibration forward
+        self._calib_model = (
+            self.model
+            if not (cfg.quant == "int8"
+                    and (cfg.fused_layer1 or cfg.fused_tails))
+            else RetinaFace(
+                backbone=cfg.backbone, dtype=dtype, s2d_stem=bool(s2d),
+                quant=True,
+            )
         )
         self.mesh = mesh
         if mesh is not None:
@@ -117,7 +128,8 @@ class DetectStage:
 
         @jax.jit
         def _collect(variables, x):
-            _, upd = self.model.apply(variables, x, mutable=["act_scales"])
+            _, upd = self._calib_model.apply(
+                variables, x, mutable=["act_scales"])
             return upd["act_scales"]
 
         scales = _collect(self.variables, x)
@@ -264,7 +276,7 @@ class DetectStage:
                             else:
                                 frames = w
                             x = retinaface_normalize(frames[:2])
-                            _, upd = self.model.apply(
+                            _, upd = self._calib_model.apply(
                                 variables, x, mutable=["act_scales"]
                             )
                             new = upd["act_scales"]

@@ -118,10 +118,21 @@ class VisualStage:
         self.static_model = EmotionResNet50(
             num_classes=num_classes, dtype=dtype, quant=quant == "int8",
             s2d_stem=bool(s2d_stem),
-            # single-chip only (pallas_call has no mesh partitioning rule)
-            fused=bool(fused) and quant != "int8" and mesh is None,
+            # single-chip only (pallas_call has no mesh partitioning rule);
+            # under int8 the chains run TVBottleneckFolded's quant fold
+            fused=bool(fused) and mesh is None,
             fused_entries=bool(fused_entries) and bool(fused)
-            and quant != "int8" and mesh is None,
+            and mesh is None,
+        )
+        # act_scales collection must run through the QConv path (the folded
+        # declarations never UPDATE the running max) — see pipeline/detect.py
+        self._calib_model = (
+            self.static_model
+            if not (quant == "int8" and bool(fused) and mesh is None)
+            else EmotionResNet50(
+                num_classes=num_classes, dtype=dtype, quant=True,
+                s2d_stem=bool(s2d_stem),
+            )
         )
         self.lstm_model = TemporalLSTM(num_classes=num_classes, dtype=dtype)
         self.mesh = mesh
@@ -166,7 +177,7 @@ class VisualStage:
 
         @jax.jit
         def _collect(variables, x):
-            _, upd = self.static_model.apply(
+            _, upd = self._calib_model.apply(
                 variables, vggface_normalize(x), mutable=["act_scales"]
             )
             return upd["act_scales"]
@@ -331,7 +342,7 @@ class VisualStage:
 
                         def _calib(variables, frames, idx, bxs):
                             crops = crop_and_resize_onehot(frames, idx, bxs, 224)
-                            _, upd = self.static_model.apply(
+                            _, upd = self._calib_model.apply(
                                 variables, vggface_normalize(crops),
                                 mutable=["act_scales"],
                             )

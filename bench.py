@@ -328,6 +328,14 @@ def main() -> None:
              {}),
             ("r50_448_int8", "resnet50", 448, "int8", inner.variables, 150,
              {}),
+            # int8 weights/activations INSIDE the fused Pallas chains
+            # (TVBottleneckFolded quant fold; same act_scales tree)
+            ("r50_640_int8f", "resnet50", 640, "int8", inner.variables, None,
+             {"fused_layer1": True, "fused_tails": True,
+              "fused_entries": True}),
+            ("r50_448_int8f", "resnet50", 448, "int8", inner.variables, 150,
+             {"fused_layer1": True, "fused_tails": True,
+              "fused_entries": True}),
             ("mnet_640_int8", "mobilenet0.25", 640, "int8", mnet_vars, 200,
              {}),
             ("mnet_448_int8", "mobilenet0.25", 448, "int8", mnet_vars, 400,
@@ -386,21 +394,31 @@ def main() -> None:
         # int8 CNN (used by the int8/turbo profiles)
         from avcer_tpu.pipeline.visual import VisualStage as _VS
 
-        vq = _VS(
-            pipe.visual.static_variables, pipe.visual.lstm_variables,
-            dtype=jnp.bfloat16, batch_size=256, quant="int8",
-        )
         idx_b = jnp.asarray((np.arange(256) % 32).astype(np.int32))
         boxes_b = jnp.asarray(
             np.tile(np.array([[160, 90, 480, 270]], np.int32), (256, 1))
         )
-        sec = time_slope(
-            lambda: vq._jit_static_from_frames(
-                vq.static_variables, frames_dev, idx_b, boxes_b
-            ),
-            n1=5, n2=25,
-        )
-        per_frame_cnn_int8 = sec / 256
+        per_frame_cnn_int8 = None
+        for entries in (False, True):  # XLA int8 vs int8 fused chains
+            try:
+                vq = _VS(
+                    pipe.visual.static_variables, pipe.visual.lstm_variables,
+                    dtype=jnp.bfloat16, batch_size=256, quant="int8",
+                    fused=entries, fused_entries=entries,
+                )
+                sec = time_slope(
+                    lambda: vq._jit_static_from_frames(
+                        vq.static_variables, frames_dev, idx_b, boxes_b
+                    ),
+                    n1=5, n2=25,
+                )
+                if per_frame_cnn_int8 is None or sec / 256 < per_frame_cnn_int8:
+                    per_frame_cnn_int8 = sec / 256
+            except Exception as e:
+                if per_frame_cnn_int8 is None:
+                    raise
+                print(json.dumps({"cnn_int8_fused_error": str(e)[:200]}),
+                      file=sys.stderr)
         # exact-math fused-chain CNN (models/emotion_resnet.py fused);
         # measure tails-only and +stride-2 entries, keep the faster
         per_frame_cnn_fused = None
@@ -504,6 +522,13 @@ def main() -> None:
                     if k in detect_ms]
             return min(rows) if rows else None
 
+        def best_int8(base: str) -> float:
+            """Fastest int8 detector row (XLA QConv vs fused chains — same
+            quantization semantics, drift-gated equivalent)."""
+            rows = [detect_ms[k] for k in (f"{base}_int8", f"{base}_int8f")
+                    if k in detect_ms]
+            return min(rows)
+
         profiles = {
             "parity_r50_640": vss(detect_ms["r50_640"], 1),
             **({
@@ -528,9 +553,9 @@ def main() -> None:
                 ),
             } if best_fused("r50_448") else {}),
             # balanced bucket + calibrated int8 (both tradeoffs drift-gated)
-            "int8_r50_448": vss(detect_ms["r50_448_int8"], 1, ci, ai),
-            "int8_r50_640": vss(detect_ms["r50_640_int8"], 1, ci, ai),
-            "int8_r50_640_s2": vss(detect_ms["r50_640_int8"], 2, ci, ai),
+            "int8_r50_448": vss(best_int8("r50_448"), 1, ci, ai),
+            "int8_r50_640": vss(best_int8("r50_640"), 1, ci, ai),
+            "int8_r50_640_s2": vss(best_int8("r50_640"), 2, ci, ai),
             "fast_mnet_640_int8": vss(detect_ms["mnet_640_int8"], 1, ci, ai),
             "turbo_mnet_448_int8_s2": vss(detect_ms["mnet_448_int8"], 2, ci, at),
         }

@@ -179,22 +179,59 @@ def main() -> None:
                 emit({"name": f"loop_r50_{tag}_{tag2}",
                       "error": repr(e)[:300]})
 
+    # ---- 2b. int8 detector, fused chains on/off -----------------------------
+    # TVBottleneckFolded quant fold: int8 weights + calibrated act scales
+    # INSIDE the fused kernel (int8 x int8 -> int32 taps on the MXU)
+    qv = None
+    for fused, tag2 in ((False, "int8"), (True, "int8f")):
+        rf = RetinaFace(backbone="resnet50", dtype=jnp.bfloat16, quant=True,
+                        fused_layer1=fused, fused_tails=fused,
+                        fused_entries=fused)
+        if qv is None:
+            calib = RetinaFace(backbone="resnet50", dtype=jnp.bfloat16,
+                               quant=True)
+            qv = calib.init(key, jnp.zeros((1, 64, 64, 3), jnp.float32))
+            _, upd = calib.apply(qv, jnp.asarray(
+                rng.standard_normal((1, 64, 64, 3)), jnp.float32),
+                mutable=["act_scales"])
+            qv = jax.device_put({**qv, "act_scales": upd["act_scales"]})
+        for xin, tag in ((x640, "640"), (x448, "448")):
+            try:
+                sec = time_looped(lambda x: rf.apply(qv, x), xin,
+                                  200 if tag == "640" else 400)
+                emit({"name": f"loop_r50_{tag}_{tag2}",
+                      "ms_per_frame": round(sec / 32 * 1e3, 4)})
+            except Exception as e:  # noqa: BLE001
+                emit({"name": f"loop_r50_{tag}_{tag2}",
+                      "error": repr(e)[:300]})
+
     # ---- 3. emotion CNN, fused on/off --------------------------------------
     from avcer_tpu.models.emotion_resnet import EmotionResNet50
 
     xc = jnp.asarray(rng.standard_normal((256, 224, 224, 3)) * 60, jnp.bfloat16)
     np.asarray(xc[0, 0, 0])
     ev = None
-    for fused, entries, tag in ((False, False, "fused0"),
-                                (True, False, "fused1"),
-                                (True, True, "fused1e")):
-        em = EmotionResNet50(num_classes=7, dtype=jnp.bfloat16, fused=fused,
-                             fused_entries=entries)
-        if ev is None:
+    qev = None
+    for quant, fused, entries, tag in (
+            (False, False, False, "fused0"),
+            (False, True, False, "fused1"),
+            (False, True, True, "fused1e"),
+            (True, False, False, "int8"),
+            (True, True, True, "int8f")):
+        em = EmotionResNet50(num_classes=7, dtype=jnp.bfloat16, quant=quant,
+                             fused=fused, fused_entries=entries)
+        if not quant and ev is None:
             ev = jax.device_put(
                 em.init(key, jnp.zeros((1, 224, 224, 3), jnp.float32)))
+        if quant and qev is None:
+            calib = EmotionResNet50(num_classes=7, dtype=jnp.bfloat16,
+                                    quant=True)
+            qev = calib.init(key, jnp.zeros((1, 224, 224, 3), jnp.float32))
+            _, upd = calib.apply(qev, xc[:2], mutable=["act_scales"])
+            qev = jax.device_put({**qev, "act_scales": upd["act_scales"]})
+        vv = qev if quant else ev
         try:
-            sec = time_looped(lambda x: em.apply(ev, x), xc, 100)
+            sec = time_looped(lambda x: em.apply(vv, x), xc, 100)
             emit({"name": f"loop_cnn_224_{tag}",
                   "ms_per_frame": round(sec / 256 * 1e3, 4)})
         except Exception as e:  # noqa: BLE001

@@ -114,6 +114,117 @@ def test_fused_entries_same_init_tree(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fused_chain_int8_matches_xla_int8(rng):
+    """int8 fused chains (TVBottleneckFolded quant fold: per-channel int8
+    weights, calibrated per-tensor activation scales via the SAME
+    act_scales tree as the QConv path, int32 MXU accumulation) reproduce
+    the XLA int8 chain — stride-1 and stride-2-entry variants. The only
+    reformulation is merging the dequant multiply into the folded BN scale
+    (f32 associativity), so f32 outputs match to ~1e-5 relative."""
+    import flax.linen as nn
+
+    from avcer_tpu.models.retinaface import TVBottleneck, TVBottleneckFolded
+    from avcer_tpu.ops.pallas.fused_resnet_kernel import fused_chain
+
+    class Chain(nn.Module):
+        planes: int
+        n: int
+        s2: bool = False
+        fused: bool = False
+
+        @nn.compact
+        def __call__(self, x):
+            in_ch = x.shape[-1]
+            if self.fused:
+                folded, sxs = [], []
+                for bi in range(self.n):
+                    out, sx = TVBottleneckFolded(
+                        self.planes, downsample=bi == 0, dtype=jnp.float32,
+                        quant=True,
+                        name=f"b{bi}")(in_ch if bi == 0 else self.planes * 4)
+                    folded += out
+                    sxs.append(sx)
+                flat = tuple(t for tr in folded for t in tr)
+                kinds = (("s2ds" if self.s2 else "ds"),) \
+                    + ("id",) * (self.n - 1)
+                return fused_chain(x, flat, kinds, interpret=True, band=8,
+                                   act_s=jnp.concatenate(sxs))
+            h = x
+            for bi in range(self.n):
+                h = TVBottleneck(self.planes,
+                                 stride=2 if (bi == 0 and self.s2) else 1,
+                                 downsample=bi == 0, dtype=jnp.float32,
+                                 quant=True, name=f"b{bi}")(h)
+            return h
+
+    key = jax.random.PRNGKey(0)
+    for s2 in (False, True):
+        x = jnp.asarray(rng.normal(size=(2, 23, 17, 16)).astype(np.float32))
+        ref = Chain(8, 3, s2=s2)
+        v = ref.init(key, jnp.zeros((1, 16, 16, 16), jnp.float32))
+        _, upd = ref.apply(v, x, mutable=["act_scales"])  # calibrate
+        v = {**v, "act_scales": upd["act_scales"]}
+        want = np.asarray(ref.apply(v, x))
+        got = np.asarray(Chain(8, 3, s2=s2, fused=True).apply(v, x))
+        assert want.shape == got.shape
+        rel = np.abs(want - got).max() / max(np.abs(want).max(), 1e-6)
+        assert rel < 1e-4, (s2, rel)
+
+
+def test_fused_backbone_int8_matches_xla_int8(rng):
+    """ResNet50Backbone(quant=True) with all fused flags reproduces the
+    XLA QConv backbone over the same calibrated variables (the serving
+    combination the int8 profiles run)."""
+    from avcer_tpu.models.retinaface import ResNet50Backbone
+
+    exact = ResNet50Backbone(dtype=jnp.float32, quant=True)
+    fused = ResNet50Backbone(dtype=jnp.float32, quant=True,
+                             fused_layer1=True, fused_tails=True,
+                             fused_entries=True)
+    x = jnp.asarray(rng.normal(size=(1, 64, 48, 3)).astype(np.float32))
+    variables = exact.init(jax.random.PRNGKey(3), x)
+    _, upd = exact.apply(variables, x, mutable=["act_scales"])
+    variables = {**variables, "act_scales": upd["act_scales"]}
+    want = exact.apply(variables, x)
+    got = fused.apply(variables, x)
+    for w_, g_ in zip(want, got):
+        w_, g_ = np.asarray(w_), np.asarray(g_)
+        rel = np.abs(w_ - g_).max() / max(np.abs(w_).max(), 1e-6)
+        assert rel < 1e-4, rel
+    # identical variable trees (params + batch_stats + act_scales paths)
+    vb = fused.init(jax.random.PRNGKey(7), x)
+    va = exact.init(jax.random.PRNGKey(7), x)
+    la = jax.tree_util.tree_leaves_with_path(va)
+    lb = jax.tree_util.tree_leaves_with_path(vb)
+    assert [p for p, _ in la] == [p for p, _ in lb]
+
+
+def test_fused_emotion_cnn_int8_matches_xla_int8(rng):
+    """EmotionResNet50(quant=True, fused=True, fused_entries=True) — the
+    int8 serving CNN with fused chains — reproduces the XLA QConv model
+    over the same calibrated variables."""
+    from avcer_tpu.models.emotion_resnet import EmotionResNet50
+
+    exact = EmotionResNet50(num_classes=7, dtype=jnp.float32, quant=True)
+    fused = EmotionResNet50(num_classes=7, dtype=jnp.float32, quant=True,
+                            fused=True, fused_entries=True)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32) * 50)
+    variables = exact.init(jax.random.PRNGKey(5), x)
+    _, upd = exact.apply(variables, x, mutable=["act_scales"])
+    variables = {**variables, "act_scales": upd["act_scales"]}
+    want_l, want_f = exact.apply(variables, x)
+    got_l, got_f = fused.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               atol=2e-3, rtol=1e-3)
+    vb = fused.init(jax.random.PRNGKey(9), x)
+    va = exact.init(jax.random.PRNGKey(9), x)
+    la = jax.tree_util.tree_leaves_with_path(va)
+    lb = jax.tree_util.tree_leaves_with_path(vb)
+    assert [p for p, _ in la] == [p for p, _ in lb]
+
+
 def test_fused_chain_s2pre_matches_tf_entry(rng):
     """"s2pre" kernel blocks (TF-v1 stride placement: conv1 + projection
     stride 2, 3x3 stride-1 SAME — the emotion CNN's convention) reproduce
