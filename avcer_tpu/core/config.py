@@ -297,6 +297,12 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
                         "reference's mobilenet0.25 backbone; turbo = fast "
                         "+ 448 bucket + detect stride 2 + shared audio "
                         "extractor. Explicit flags override the preset.")
+    p.add_argument("--fused", action="store_true",
+                   help="run the r50 detector + emotion-CNN bottleneck "
+                        "chains as fused Pallas VMEM programs (exact "
+                        "reformulation for bf16 presets; int8 presets use "
+                        "the quant fold — PARITY.md). No-op for the "
+                        "mobilenet backbone presets.")
     a = p.parse_args(argv)
     head = a.audio_head or ("v3" if a.audio_classes == 8 else "v2")
     quant = "none" if a.serving_profile in ("parity", "balanced") else "int8"
@@ -314,8 +320,9 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
     cfg = PipelineConfig(
         detector=DetectorConfig(
             long_side=long_side, stride=stride, backbone=backbone, quant=quant,
+            fused_layer1=a.fused, fused_tails=a.fused, fused_entries=a.fused,
         ),
-        visual=VisualConfig(quant=quant),
+        visual=VisualConfig(quant=quant, fused=a.fused, fused_entries=a.fused),
         calibrate=a.calibrate,
         audio=AudioConfig(
             num_classes=a.audio_classes, head=head,
