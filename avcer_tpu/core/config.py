@@ -88,6 +88,10 @@ class DetectorConfig:
     #: too (models/retinaface.ResNet50Backbone.fused_entries) — layer2
     #: becomes ONE Pallas program; requires fused_tails, same exactness.
     fused_entries: bool = False
+    #: each SSH context module + its three 1x1 heads as one fused Pallas
+    #: program per FPN scale (models/retinaface.RetinaFace.fused_ssh) —
+    #: the SSH output never touches HBM. Exact; bf16 non-quant path only.
+    fused_ssh: bool = False
 
 
 @dataclass(frozen=True)
@@ -321,6 +325,7 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
         detector=DetectorConfig(
             long_side=long_side, stride=stride, backbone=backbone, quant=quant,
             fused_layer1=a.fused, fused_tails=a.fused, fused_entries=a.fused,
+            fused_ssh=a.fused,
         ),
         visual=VisualConfig(quant=quant, fused=a.fused, fused_entries=a.fused),
         calibrate=a.calibrate,

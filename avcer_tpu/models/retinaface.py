@@ -185,6 +185,64 @@ class TVBottleneckFolded(nn.Module):
         return out
 
 
+class _ConvBNFolded(nn.Module):
+    """ConvBN's parameter tree (conv/kernel + bn stats) with the inference
+    BN fold applied — for the fused SSH kernel."""
+
+    out_ch: int
+    dtype: Dtype = jnp.float32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        w = _DeclConvKernel((3, 3, in_ch, self.out_ch), name="conv")()
+        scale, bias, mean, var = _DeclBN(name="bn")(self.out_ch)
+        inv = scale * jax.lax.rsqrt(var + self.eps)
+        shift = bias - mean * inv
+        return (w.astype(self.dtype),
+                inv.reshape(1, -1).astype(self.dtype),
+                shift.reshape(1, -1).astype(self.dtype))
+
+
+class SSHFolded(nn.Module):
+    """Inference-folded weights of one SSH module (same parameter tree as
+    SSH — same child names/shapes/path-derived init), for the fused
+    SSH+heads kernel (ops/pallas/fused_ssh_kernel.py)."""
+
+    out_ch: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_ch: int) -> tuple:
+        oc = self.out_ch
+        out: list = []
+        for nm, ci, co in (
+            ("conv3X3", in_ch, oc // 2),
+            ("conv5X5_1", in_ch, oc // 4),
+            ("conv5X5_2", oc // 4, oc // 4),
+            ("conv7X7_2", oc // 4, oc // 4),
+            ("conv7x7_3", oc // 4, oc // 4),
+        ):
+            out += list(_ConvBNFolded(co, dtype=self.dtype, name=nm)(ci))
+        return tuple(out)
+
+
+class _DeclHead(nn.Module):
+    """The params an (un-called) head ``nn.Conv(out, (1,1))`` would declare
+    (kernel + bias, same init), returned matmul-shaped."""
+
+    out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, in_ch, self.out), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.out,),
+                       jnp.float32)
+        return k[0, 0].astype(self.dtype), b.astype(self.dtype)
+
+
 class TVBottleneck(nn.Module):
     """torchvision Bottleneck: stride on the 3x3 conv (v1.5), BN eps 1e-5."""
 
@@ -535,6 +593,11 @@ class RetinaFace(nn.Module):
     #: fuse the stride-2 entry bottlenecks of layers 2-3 too
     #: (ResNet50Backbone.fused_entries; requires fused_tails).
     fused_entries: bool = False
+    #: run each SSH context module + its three 1x1 heads as ONE fused
+    #: Pallas program per FPN scale — the SSH output never touches HBM
+    #: (ops/pallas/fused_ssh_kernel.py). Exact reformulation; inference
+    #: bf16/f32 non-quant path only.
+    fused_ssh: bool = False
     #: dynamically-quantized int8 serving path (layers.int8_conv): backbone +
     #: FPN + SSH convs run int8 on the MXU (~1.85x conv speedup on v5e);
     #: heads stay bf16 for box-regression precision. Same checkpoint tree as
@@ -561,6 +624,37 @@ class RetinaFace(nn.Module):
 
         fpn = FPN(out_ch, dtype=self.dtype, quant=self.quant, name="fpn")(
             feats, train)
+
+        if self.fused_ssh and not train and not self.quant:
+            from avcer_tpu.ops.pallas.fused_ssh_kernel import fused_ssh_heads
+
+            leaky = 0.1 if out_ch <= 64 else 0.0
+            interp = jax.default_backend() == "cpu"
+            locs, confs, ldms = [], [], []
+            for i, f in enumerate(fpn):
+                convs = SSHFolded(out_ch, dtype=self.dtype,
+                                  name=f"ssh{i + 1}")(f.shape[-1])
+                heads: list = []
+                for nm, width in (("BboxHead", 4), ("ClassHead", 2),
+                                  ("LandmarkHead", 10)):
+                    heads += list(_DeclHead(
+                        self.num_anchors * width, dtype=self.dtype,
+                        name=f"{nm}_{i}")(out_ch))
+                lo, co, ld = fused_ssh_heads(
+                    f.astype(self.dtype), convs, tuple(heads),
+                    leaky=leaky, interpret=interp,
+                )
+                # rows (h, w, anchor) — same ordering as the unfused reshape
+                locs.append(lo.reshape(lo.shape[0], -1, 4))
+                confs.append(co.reshape(co.shape[0], -1, 2))
+                ldms.append(ld.reshape(ld.shape[0], -1, 10))
+            loc = jnp.concatenate(locs, axis=1)
+            conf = jnp.concatenate(confs, axis=1)
+            landms = jnp.concatenate(ldms, axis=1)
+            if not self.raw_conf:
+                conf = jax.nn.softmax(conf.astype(jnp.float32), axis=-1)
+            return loc, conf, landms
+
         features = [
             SSH(out_ch, dtype=self.dtype, quant=self.quant, name=f"ssh{i + 1}")(
                 f, train)

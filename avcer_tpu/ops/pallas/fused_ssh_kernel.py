@@ -1,0 +1,150 @@
+"""Pallas TPU kernel: SSH context module + detection heads as ONE program.
+
+Why: after the backbone chains fuse (fused_resnet_kernel), the detector's
+remaining HBM round-trips at the 640 bucket are the FPN/SSH/head sections
+(~0.09 ms/frame of the 0.54 total, BENCH_NOTES round-4). Per FPN scale the
+SSH module (retina_face_net.py:41-67) is a 5-conv DAG
+
+    c3   = convBN3x3(x)                 # out_ch/2, no relu
+    c5_1 = convBN3x3(x)      + (leaky)relu
+    c5   = convBN3x3(c5_1)              # no relu
+    c7_2 = convBN3x3(c5_1)   + (leaky)relu
+    c7   = convBN3x3(c7_2)              # no relu
+    out  = relu(concat([c3, c5, c7]))
+
+whose output is consumed ONLY by the three 1x1 heads (retina_face.py:9-43).
+This kernel keeps the whole DAG in VMEM per spatial band and never
+materializes the SSH output: relu(concat) @ W_head decomposes into a sum
+of per-segment matmuls
+
+    head(x) = relu(c3) @ W[:C/2] + relu(c5) @ W[C/2:3C/4]
+            + relu(c7) @ W[3C/4:] + bias
+
+so each band writes only the tiny head outputs (loc 8, conf 4, ldm 20
+lanes per anchor pair) back to HBM.
+
+Exactness: BN folds to scale/shift; convs accumulate f32 on the MXU and
+round to the compute dtype at each conv output (the unfused path's
+rounding points); the head sum differs from the XLA 256-contraction dot
+only in f32-addition associativity. Same parameter tree as the unfused
+SSH/head modules (models/retinaface.SSHHeadsFolded).
+
+Reference behavior contract: /root/reference/src/data/face_detection/ibug/
+face_detection/retina_face/retina_face_net.py:41-67 (SSH),
+retina_face.py:9-43 (ClassHead/BboxHead/LandmarkHead).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from avcer_tpu.ops.pallas.fused_resnet_kernel import _mask_oof, _pick_band
+
+
+def _cbn3(a, w, inv, shift, leaky: float | None):
+    """3x3/s1 VALID conv + folded BN over a (r, c, ci) band; activation:
+    None = linear, 0.0 = relu, >0 = leaky relu (retina_face_net.py:9-38)."""
+    r, c, ci = a.shape
+    co = w.shape[-1]
+    m = (r - 2) * (c - 2)
+    acc = jnp.zeros((m, co), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            sl = a[ky:ky + r - 2, kx:kx + c - 2, :].reshape(m, ci)
+            acc = acc + jnp.dot(sl, w[ky, kx],
+                                preferred_element_type=jnp.float32)
+    y = acc.astype(w.dtype) * inv + shift
+    if leaky is not None:
+        y = jnp.maximum(y, 0) if leaky == 0.0 else jnp.where(
+            y >= 0, y, y * jnp.asarray(leaky, y.dtype))
+    return y.reshape(r - 2, c - 2, co)
+
+
+def _kernel(xp_hbm, *refs, th: int, h: int, w: int, leaky: float):
+    (w3, i3, s3, w51, i51, s51, w5, i5, s5, w72, i72, s72, w7, i7, s7,
+     wl, bl, wc, bc, wm, bm) = [r[:] for r in refs[:21]]
+    lo_ref, co_ref, ld_ref, xb, sem = refs[21:26]
+
+    b = pl.program_id(0)
+    rb = pl.program_id(1)
+    r0 = rb * th
+
+    dma = pltpu.make_async_copy(xp_hbm.at[b, pl.ds(r0, th + 6)], xb, sem)
+    dma.start()
+    dma.wait()
+
+    x = _mask_oof(xb[:], r0 - 3, -3, h, w)           # (th+6, w+6, C)
+    c51 = _cbn3(x, w51, i51, s51, leaky)             # (th+4, w+4, C/4)
+    c51 = _mask_oof(c51, r0 - 2, -2, h, w)
+    c72 = _cbn3(c51, w72, i72, s72, leaky)           # (th+2, w+2, C/4)
+    c72 = _mask_oof(c72, r0 - 1, -1, h, w)
+    c7 = _cbn3(c72, w7, i7, s7, None)                # (th, w, C/4)
+    c5 = _cbn3(c51[1:th + 3, 1:w + 3], w5, i5, s5, None)
+    c3 = _cbn3(x[2:th + 4, 2:w + 4], w3, i3, s3, None)
+
+    m = th * w
+    half = c3.shape[-1]
+    q = c5.shape[-1]
+    s1 = jnp.maximum(c3, 0).reshape(m, half)         # relu(concat) segments
+    s2 = jnp.maximum(c5, 0).reshape(m, q)
+    s3g = jnp.maximum(c7, 0).reshape(m, q)
+
+    def head(wh, bh, out_ref):
+        acc = jnp.dot(s1, wh[:half], preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(s2, wh[half:half + q],
+                            preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(s3g, wh[half + q:],
+                            preferred_element_type=jnp.float32)
+        out_ref[0] = (acc.astype(wh.dtype) + bh).reshape(th, w, -1)
+
+    head(wl, bl, lo_ref)
+    head(wc, bc, co_ref)
+    head(wm, bm, ld_ref)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("leaky", "interpret", "band"))
+def fused_ssh_heads(
+    x: jax.Array,       # [B, H, W, C] FPN scale feature, compute dtype
+    conv_folded: tuple,  # 5 x (w [3,3,ci,co], inv, shift):
+                         # conv3X3, conv5X5_1, conv5X5_2, conv7X7_2, conv7x7_3
+    head_folded: tuple,  # 3 x (w [C, out], bias): Bbox, Class, Landmark
+    leaky: float = 0.0,
+    interpret: bool = False,
+    band: int = 32,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    bsz, h, w, _ = x.shape
+    th = _pick_band(h, band)
+    nb = -(-h // th)
+    hp = nb * th
+    xp = jnp.pad(x, ((0, 0), (3, 3 + hp - h), (3, 3), (0, 0)))
+    dtype = x.dtype
+    outs = [jax.ShapeDtypeStruct((bsz, hp, w, hw.shape[-1]), dtype)
+            for hw, _ in zip(head_folded[::2], head_folded[1::2])]
+
+    operands = tuple(conv_folded) + tuple(head_folded)
+    loc, conf, ldm = pl.pallas_call(
+        functools.partial(_kernel, th=th, h=h, w=w, leaky=leaky),
+        grid=(bsz, nb),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in operands],
+        out_specs=[
+            pl.BlockSpec((1, th, w, o.shape[-1]), lambda b, r: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for o in outs
+        ],
+        out_shape=tuple(outs),
+        scratch_shapes=[
+            pltpu.VMEM((th + 6, w + 6, x.shape[-1]), dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, *operands)
+    if hp != h:
+        loc, conf, ldm = loc[:, :h], conf[:, :h], ldm[:, :h]
+    return loc, conf, ldm

@@ -314,16 +314,17 @@ def main() -> None:
             # programs (ops/pallas/fused_resnet_kernel.py)
             ("r50_640_fused", "resnet50", 640, "none", inner.variables, None,
              {"fused_layer1": True, "fused_tails": True}),
-            # + stride-2 entries fused ("s2ds"): layer2 as one program
+            # + stride-2 entries fused ("s2ds"): layer2 as one program,
+            # + SSH+heads fused per FPN scale (fused_ssh_kernel)
             ("r50_640_fusede", "resnet50", 640, "none", inner.variables, None,
              {"fused_layer1": True, "fused_tails": True,
-              "fused_entries": True}),
+              "fused_entries": True, "fused_ssh": True}),
             ("r50_448", "resnet50", 448, "none", inner.variables, None, {}),
             ("r50_448_fused", "resnet50", 448, "none", inner.variables, 150,
              {"fused_layer1": True, "fused_tails": True}),
             ("r50_448_fusede", "resnet50", 448, "none", inner.variables, 150,
              {"fused_layer1": True, "fused_tails": True,
-              "fused_entries": True}),
+              "fused_entries": True, "fused_ssh": True}),
             ("r50_640_int8", "resnet50", 640, "int8", inner.variables, None,
              {}),
             ("r50_448_int8", "resnet50", 448, "int8", inner.variables, 150,

@@ -154,18 +154,21 @@ def main() -> None:
     x448 = jnp.asarray(rng.standard_normal((32, 256, 448, 3)), jnp.bfloat16)
     np.asarray(x448[0, 0, 0])
     rv = None
-    for fused1, tails, entries, tag2 in (
-            (False, False, False, "fused0"),
-            (True, False, False, "fused1"),
-            (True, True, False, "fused1t"),
-            (False, True, False, "fused0t"),
+    for fused1, tails, entries, fssh, tag2 in (
+            (False, False, False, False, "fused0"),
+            (True, False, False, False, "fused1"),
+            (True, True, False, False, "fused1t"),
+            (False, True, False, False, "fused0t"),
             # stride-2 entries fused too: layer2 as ONE program, layer3 as
             # entry+1/2/2 ("s2ds" blocks — needs the Mosaic stride-2 probe
             # above to hold on hardware)
-            (True, True, True, "fused1te")):
+            (True, True, True, False, "fused1te"),
+            # + SSH+heads fused per scale (fused_ssh_kernel)
+            (True, True, True, True, "fused1tes"),
+            (False, False, False, True, "fused0s")):
         rf = RetinaFace(backbone="resnet50", dtype=jnp.bfloat16,
                         fused_layer1=fused1, fused_tails=tails,
-                        fused_entries=entries)
+                        fused_entries=entries, fused_ssh=fssh)
         if rv is None:
             rv = jax.device_put(
                 rf.init(key, jnp.zeros((1, 64, 64, 3), jnp.float32)))

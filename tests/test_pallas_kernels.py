@@ -114,6 +114,35 @@ def test_fused_entries_same_init_tree(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fused_ssh_heads_match_xla(rng):
+    """fused_ssh (SSH context DAG + the three 1x1 heads as one Pallas
+    program per FPN scale, relu(concat) decomposed into per-segment head
+    matmuls) reproduces the exact RetinaFace outputs for both backbones
+    (mobilenet exercises the leaky-relu branches), with identical
+    parameter trees."""
+    from avcer_tpu.models.retinaface import RetinaFace
+
+    key = jax.random.PRNGKey(0)
+    for backbone in ("resnet50", "mobilenet0.25"):
+        exact = RetinaFace(backbone=backbone, dtype=jnp.float32)
+        fused = RetinaFace(backbone=backbone, dtype=jnp.float32,
+                           fused_ssh=True)
+        x = jnp.asarray(rng.normal(size=(1, 72, 56, 3)).astype(np.float32))
+        v = exact.init(key, jnp.zeros((1, 64, 64, 3), jnp.float32))
+        want = exact.apply(v, x)
+        got = fused.apply(v, x)
+        for wv, gv in zip(want, got):
+            np.testing.assert_allclose(np.asarray(gv), np.asarray(wv),
+                                       atol=2e-5, rtol=1e-4)
+        va = exact.init(jax.random.PRNGKey(7), x)
+        vb = fused.init(jax.random.PRNGKey(7), x)
+        la = jax.tree_util.tree_leaves_with_path(va)
+        lb = jax.tree_util.tree_leaves_with_path(vb)
+        assert [p for p, _ in la] == [p for p, _ in lb]
+        for (_, a), (_, b) in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_chain_int8_matches_xla_int8(rng):
     """int8 fused chains (TVBottleneckFolded quant fold: per-channel int8
     weights, calibrated per-tensor activation scales via the SAME
