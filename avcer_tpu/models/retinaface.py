@@ -187,21 +187,33 @@ class TVBottleneckFolded(nn.Module):
 
 class _ConvBNFolded(nn.Module):
     """ConvBN's parameter tree (conv/kernel + bn stats) with the inference
-    BN fold applied — for the fused SSH kernel."""
+    BN fold applied — for the fused SSH kernel. ``quant`` mirrors
+    TVBottleneckFolded's int8 fold: (wq int8, mult = sx*sw*inv, shift) +
+    the raw activation scale sx (QConv-identical act_scales tree)."""
 
     out_ch: int
     dtype: Dtype = jnp.float32
     eps: float = 1e-5
+    quant: bool = False
 
     @nn.compact
     def __call__(self, in_ch: int):
-        w = _DeclConvKernel((3, 3, in_ch, self.out_ch), name="conv")()
+        got = _DeclConvKernel((3, 3, in_ch, self.out_ch), quant=self.quant,
+                              name="conv")()
         scale, bias, mean, var = _DeclBN(name="bn")(self.out_ch)
         inv = scale * jax.lax.rsqrt(var + self.eps)
         shift = bias - mean * inv
-        return (w.astype(self.dtype),
-                inv.reshape(1, -1).astype(self.dtype),
-                shift.reshape(1, -1).astype(self.dtype))
+        if not self.quant:
+            return (got.astype(self.dtype),
+                    inv.reshape(1, -1).astype(self.dtype),
+                    shift.reshape(1, -1).astype(self.dtype))
+        w, amax = got
+        sw = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+        sw = jnp.maximum(sw, 1e-10)
+        wq = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
+        sx = jnp.maximum(amax.astype(jnp.float32) / 127.0, 1e-10)
+        return (wq, (sw * sx * inv).reshape(1, -1),
+                shift.reshape(1, -1)), sx
 
 
 class SSHFolded(nn.Module):
@@ -211,11 +223,13 @@ class SSHFolded(nn.Module):
 
     out_ch: int
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
-    def __call__(self, in_ch: int) -> tuple:
+    def __call__(self, in_ch: int):
         oc = self.out_ch
         out: list = []
+        sxs: list = []
         for nm, ci, co in (
             ("conv3X3", in_ch, oc // 2),
             ("conv5X5_1", in_ch, oc // 4),
@@ -223,7 +237,14 @@ class SSHFolded(nn.Module):
             ("conv7X7_2", oc // 4, oc // 4),
             ("conv7x7_3", oc // 4, oc // 4),
         ):
-            out += list(_ConvBNFolded(co, dtype=self.dtype, name=nm)(ci))
+            got = _ConvBNFolded(co, dtype=self.dtype, quant=self.quant,
+                                name=nm)(ci)
+            if self.quant:
+                got, sx = got
+                sxs.append(sx)
+            out += list(got)
+        if self.quant:
+            return tuple(out), jnp.stack(sxs)
         return tuple(out)
 
 
@@ -625,15 +646,16 @@ class RetinaFace(nn.Module):
         fpn = FPN(out_ch, dtype=self.dtype, quant=self.quant, name="fpn")(
             feats, train)
 
-        if self.fused_ssh and not train and not self.quant:
+        if self.fused_ssh and not train:
             from avcer_tpu.ops.pallas.fused_ssh_kernel import fused_ssh_heads
 
             leaky = 0.1 if out_ch <= 64 else 0.0
             interp = jax.default_backend() == "cpu"
             locs, confs, ldms = [], [], []
             for i, f in enumerate(fpn):
-                convs = SSHFolded(out_ch, dtype=self.dtype,
-                                  name=f"ssh{i + 1}")(f.shape[-1])
+                got = SSHFolded(out_ch, dtype=self.dtype, quant=self.quant,
+                                name=f"ssh{i + 1}")(f.shape[-1])
+                convs, act_s = got if self.quant else (got, None)
                 heads: list = []
                 for nm, width in (("BboxHead", 4), ("ClassHead", 2),
                                   ("LandmarkHead", 10)):
@@ -642,7 +664,7 @@ class RetinaFace(nn.Module):
                         name=f"{nm}_{i}")(out_ch))
                 lo, co, ld = fused_ssh_heads(
                     f.astype(self.dtype), convs, tuple(heads),
-                    leaky=leaky, interpret=interp,
+                    leaky=leaky, interpret=interp, act_s=act_s,
                 )
                 # rows (h, w, anchor) — same ordering as the unfused reshape
                 locs.append(lo.reshape(lo.shape[0], -1, 4))

@@ -43,32 +43,54 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from avcer_tpu.ops.pallas.fused_resnet_kernel import _mask_oof, _pick_band
+from avcer_tpu.ops.pallas.fused_resnet_kernel import (
+    _mask_oof, _pick_band, _q_acc_dtype, _quant,
+)
 
 
-def _cbn3(a, w, inv, shift, leaky: float | None):
+def _cbn3(a, w, inv, shift, leaky: float | None, sx=None, out_dt=None):
     """3x3/s1 VALID conv + folded BN over a (r, c, ci) band; activation:
-    None = linear, 0.0 = relu, >0 = leaky relu (retina_face_net.py:9-38)."""
+    None = linear, 0.0 = relu, >0 = leaky relu (retina_face_net.py:9-38).
+    With ``sx`` the conv runs int8 (w is the quantized kernel, inv the
+    merged dequant+BN multiply — layers.int8_conv semantics)."""
     r, c, ci = a.shape
     co = w.shape[-1]
     m = (r - 2) * (c - 2)
-    acc = jnp.zeros((m, co), jnp.float32)
+    if sx is not None:
+        acc_dt = _q_acc_dtype()
+        a = _quant(a, sx, jnp.int8 if acc_dt == jnp.int32 else jnp.float32)
+        w = w.astype(a.dtype)
+        dt = out_dt
+    else:
+        acc_dt = jnp.float32
+        dt = w.dtype
+    acc = jnp.zeros((m, co), acc_dt)
     for ky in range(3):
         for kx in range(3):
             sl = a[ky:ky + r - 2, kx:kx + c - 2, :].reshape(m, ci)
             acc = acc + jnp.dot(sl, w[ky, kx],
-                                preferred_element_type=jnp.float32)
-    y = acc.astype(w.dtype) * inv + shift
+                                preferred_element_type=acc_dt)
+    if sx is not None:
+        y = (acc.astype(jnp.float32) * inv + shift).astype(dt)
+    else:
+        y = acc.astype(dt) * inv + shift
     if leaky is not None:
         y = jnp.maximum(y, 0) if leaky == 0.0 else jnp.where(
             y >= 0, y, y * jnp.asarray(leaky, y.dtype))
     return y.reshape(r - 2, c - 2, co)
 
 
-def _kernel(xp_hbm, *refs, th: int, h: int, w: int, leaky: float):
+def _kernel(xp_hbm, *refs, th: int, h: int, w: int, leaky: float,
+            quant: bool = False):
     (w3, i3, s3, w51, i51, s51, w5, i5, s5, w72, i72, s72, w7, i7, s7,
      wl, bl, wc, bc, wm, bm) = [r[:] for r in refs[:21]]
-    lo_ref, co_ref, ld_ref, xb, sem = refs[21:26]
+    rest = refs[21:]
+    if quant:
+        sx_ref, rest = rest[0], rest[1:]
+        sxs = [sx_ref[i] for i in range(5)]
+    else:
+        sxs = [None] * 5
+    lo_ref, co_ref, ld_ref, xb, sem = rest[:5]
 
     b = pl.program_id(0)
     rb = pl.program_id(1)
@@ -78,14 +100,17 @@ def _kernel(xp_hbm, *refs, th: int, h: int, w: int, leaky: float):
     dma.start()
     dma.wait()
 
+    out_dt = xb.dtype
+    # folded order: conv3X3, conv5X5_1, conv5X5_2, conv7X7_2, conv7x7_3
+    sx3, sx51, sx5, sx72, sx7 = sxs
     x = _mask_oof(xb[:], r0 - 3, -3, h, w)           # (th+6, w+6, C)
-    c51 = _cbn3(x, w51, i51, s51, leaky)             # (th+4, w+4, C/4)
+    c51 = _cbn3(x, w51, i51, s51, leaky, sx51, out_dt)   # (th+4, w+4, C/4)
     c51 = _mask_oof(c51, r0 - 2, -2, h, w)
-    c72 = _cbn3(c51, w72, i72, s72, leaky)           # (th+2, w+2, C/4)
+    c72 = _cbn3(c51, w72, i72, s72, leaky, sx72, out_dt)  # (th+2, w+2, C/4)
     c72 = _mask_oof(c72, r0 - 1, -1, h, w)
-    c7 = _cbn3(c72, w7, i7, s7, None)                # (th, w, C/4)
-    c5 = _cbn3(c51[1:th + 3, 1:w + 3], w5, i5, s5, None)
-    c3 = _cbn3(x[2:th + 4, 2:w + 4], w3, i3, s3, None)
+    c7 = _cbn3(c72, w7, i7, s7, None, sx7, out_dt)   # (th, w, C/4)
+    c5 = _cbn3(c51[1:th + 3, 1:w + 3], w5, i5, s5, None, sx5, out_dt)
+    c3 = _cbn3(x[2:th + 4, 2:w + 4], w3, i3, s3, None, sx3, out_dt)
 
     m = th * w
     half = c3.shape[-1]
@@ -117,6 +142,8 @@ def fused_ssh_heads(
     leaky: float = 0.0,
     interpret: bool = False,
     band: int = 32,
+    act_s: jax.Array | None = None,  # [5] f32 static activation scales ->
+                                     # int8 SSH convs (heads stay exact)
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     bsz, h, w, _ = x.shape
     th = _pick_band(h, band)
@@ -128,11 +155,15 @@ def fused_ssh_heads(
             for hw, _ in zip(head_folded[::2], head_folded[1::2])]
 
     operands = tuple(conv_folded) + tuple(head_folded)
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in operands]
+    if act_s is not None:
+        operands = operands + (act_s.astype(jnp.float32),)
+        w_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     loc, conf, ldm = pl.pallas_call(
-        functools.partial(_kernel, th=th, h=h, w=w, leaky=leaky),
+        functools.partial(_kernel, th=th, h=h, w=w, leaky=leaky,
+                          quant=act_s is not None),
         grid=(bsz, nb),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in operands],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + w_specs,
         out_specs=[
             pl.BlockSpec((1, th, w, o.shape[-1]), lambda b, r: (b, r, 0, 0),
                          memory_space=pltpu.VMEM)

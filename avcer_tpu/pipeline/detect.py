@@ -72,8 +72,7 @@ class DetectStage:
             fused_tails=bool(cfg.fused_tails) and mesh is None,
             fused_entries=bool(getattr(cfg, "fused_entries", False))
             and bool(cfg.fused_tails) and mesh is None,
-            fused_ssh=bool(getattr(cfg, "fused_ssh", False))
-            and cfg.quant != "int8" and mesh is None,
+            fused_ssh=bool(getattr(cfg, "fused_ssh", False)) and mesh is None,
         )
         # act_scales collection must run through the QConv path (the folded
         # declarations never UPDATE the running max) — a fused-free twin
@@ -81,7 +80,8 @@ class DetectStage:
         self._calib_model = (
             self.model
             if not (cfg.quant == "int8"
-                    and (cfg.fused_layer1 or cfg.fused_tails))
+                    and (cfg.fused_layer1 or cfg.fused_tails
+                         or getattr(cfg, "fused_ssh", False)))
             else RetinaFace(
                 backbone=cfg.backbone, dtype=dtype, s2d_stem=bool(s2d),
                 quant=True,

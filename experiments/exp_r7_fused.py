@@ -189,7 +189,7 @@ def main() -> None:
     for fused, tag2 in ((False, "int8"), (True, "int8f")):
         rf = RetinaFace(backbone="resnet50", dtype=jnp.bfloat16, quant=True,
                         fused_layer1=fused, fused_tails=fused,
-                        fused_entries=fused)
+                        fused_entries=fused, fused_ssh=fused)
         if qv is None:
             calib = RetinaFace(backbone="resnet50", dtype=jnp.bfloat16,
                                quant=True)

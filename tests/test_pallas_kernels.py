@@ -143,6 +143,33 @@ def test_fused_ssh_heads_match_xla(rng):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fused_ssh_heads_int8_matches_xla_int8(rng):
+    """fused_ssh under quant: the 5 SSH convs run int8 inside the kernel
+    (heads stay exact, as in the XLA int8 path) and reproduce the XLA
+    QConv model over the same calibrated variables."""
+    from avcer_tpu.models.retinaface import RetinaFace
+
+    key = jax.random.PRNGKey(0)
+    exact = RetinaFace(backbone="resnet50", dtype=jnp.float32, quant=True)
+    fused = RetinaFace(backbone="resnet50", dtype=jnp.float32, quant=True,
+                       fused_ssh=True)
+    x = jnp.asarray(rng.normal(size=(1, 72, 56, 3)).astype(np.float32))
+    v = exact.init(key, jnp.zeros((1, 64, 64, 3), jnp.float32))
+    _, upd = exact.apply(v, x, mutable=["act_scales"])  # calibrate
+    v = {**v, "act_scales": upd["act_scales"]}
+    want = exact.apply(v, x)
+    got = fused.apply(v, x)
+    for wv, gv in zip(want, got):
+        wv, gv = np.asarray(wv), np.asarray(gv)
+        rel = np.abs(wv - gv).max() / max(np.abs(wv).max(), 1e-6)
+        assert rel < 1e-4, rel
+    va = exact.init(jax.random.PRNGKey(7), x)
+    vb = fused.init(jax.random.PRNGKey(7), x)
+    la = jax.tree_util.tree_leaves_with_path(va)
+    lb = jax.tree_util.tree_leaves_with_path(vb)
+    assert [p for p, _ in la] == [p for p, _ in lb]
+
+
 def test_fused_chain_int8_matches_xla_int8(rng):
     """int8 fused chains (TVBottleneckFolded quant fold: per-channel int8
     weights, calibrated per-tensor activation scales via the SAME
