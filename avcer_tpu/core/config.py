@@ -90,8 +90,11 @@ class DetectorConfig:
     fused_entries: bool = False
     #: each SSH context module + its three 1x1 heads as one fused Pallas
     #: program per FPN scale (models/retinaface.RetinaFace.fused_ssh) —
-    #: the SSH output never touches HBM. Exact; bf16 non-quant path only.
+    #: the SSH output never touches HBM. Exact; int8 fold under quant.
     fused_ssh: bool = False
+    #: with fused_ssh, fold the FPN (lateral + upsample-add + merge) into
+    #: the same per-scale programs (RetinaFace.fused_fpn). Same exactness.
+    fused_fpn: bool = False
 
 
 @dataclass(frozen=True)
@@ -325,7 +328,7 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
         detector=DetectorConfig(
             long_side=long_side, stride=stride, backbone=backbone, quant=quant,
             fused_layer1=a.fused, fused_tails=a.fused, fused_entries=a.fused,
-            fused_ssh=a.fused,
+            fused_ssh=a.fused, fused_fpn=a.fused,
         ),
         visual=VisualConfig(quant=quant, fused=a.fused, fused_entries=a.fused),
         calibrate=a.calibrate,

@@ -195,20 +195,24 @@ class _ConvBNFolded(nn.Module):
     dtype: Dtype = jnp.float32
     eps: float = 1e-5
     quant: bool = False
+    kernel: int = 3  # 1 -> matmul-shaped fold (FPN laterals)
 
     @nn.compact
     def __call__(self, in_ch: int):
-        got = _DeclConvKernel((3, 3, in_ch, self.out_ch), quant=self.quant,
+        k = self.kernel
+        got = _DeclConvKernel((k, k, in_ch, self.out_ch), quant=self.quant,
                               name="conv")()
         scale, bias, mean, var = _DeclBN(name="bn")(self.out_ch)
         inv = scale * jax.lax.rsqrt(var + self.eps)
         shift = bias - mean * inv
         if not self.quant:
-            return (got.astype(self.dtype),
+            w = got[0, 0] if k == 1 else got
+            return (w.astype(self.dtype),
                     inv.reshape(1, -1).astype(self.dtype),
                     shift.reshape(1, -1).astype(self.dtype))
         w, amax = got
-        sw = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+        w = w[0, 0] if k == 1 else w
+        sw = jnp.max(jnp.abs(w), axis=tuple(range(w.ndim - 1))) / 127.0
         sw = jnp.maximum(sw, 1e-10)
         wq = jnp.clip(jnp.round(w / sw), -127, 127).astype(jnp.int8)
         sx = jnp.maximum(amax.astype(jnp.float32) / 127.0, 1e-10)
@@ -246,6 +250,30 @@ class SSHFolded(nn.Module):
         if self.quant:
             return tuple(out), jnp.stack(sxs)
         return tuple(out)
+
+
+class FPNFolded(nn.Module):
+    """Inference-folded weights of the FPN module (same parameter tree as
+    FPN) for the fully-fused FPN+SSH+heads path: per scale a lateral
+    (output{i}, 1x1, matmul-shaped) and for scales 1-2 a merge 3x3."""
+
+    out_ch: int
+    dtype: Dtype = jnp.float32
+    quant: bool = False
+
+    @nn.compact
+    def __call__(self, in_chs: tuple[int, int, int]):
+        def conv(nm: str, ci: int, k: int):
+            return _ConvBNFolded(self.out_ch, dtype=self.dtype,
+                                 quant=self.quant, kernel=k, name=nm)(ci)
+
+        lats = [conv(f"output{i + 1}", ci, 1) for i, ci in enumerate(in_chs)]
+        merges = [conv("merge1", self.out_ch, 3),
+                  conv("merge2", self.out_ch, 3)]
+        if self.quant:
+            return ([t for t, _ in lats], [t for t, _ in merges],
+                    [s for _, s in lats], [s for _, s in merges])
+        return lats, merges, None, None
 
 
 class _DeclHead(nn.Module):
@@ -616,9 +644,14 @@ class RetinaFace(nn.Module):
     fused_entries: bool = False
     #: run each SSH context module + its three 1x1 heads as ONE fused
     #: Pallas program per FPN scale — the SSH output never touches HBM
-    #: (ops/pallas/fused_ssh_kernel.py). Exact reformulation; inference
-    #: bf16/f32 non-quant path only.
+    #: (ops/pallas/fused_ssh_kernel.py). Exact reformulation; int8 under
+    #: quant (heads stay in the compute dtype, as in the XLA path).
     fused_ssh: bool = False
+    #: with fused_ssh, fold the FPN into the same per-scale programs:
+    #: lateral 1x1 + top-down upsample-add + merge 3x3 feed the SSH DAG in
+    #: VMEM, so the only FPN tensors touching HBM are the two small
+    #: upsample sources the scale-2/3 kernels emit. Same exactness.
+    fused_fpn: bool = False
     #: dynamically-quantized int8 serving path (layers.int8_conv): backbone +
     #: FPN + SSH convs run int8 on the MXU (~1.85x conv speedup on v5e);
     #: heads stay bf16 for box-regression precision. Same checkpoint tree as
@@ -642,6 +675,67 @@ class RetinaFace(nn.Module):
             out_ch = 64
         else:
             raise ValueError(self.backbone)
+
+        if self.fused_ssh and self.fused_fpn and not train:
+            # fully-fused FPN+SSH+heads: one Pallas program per scale,
+            # sequenced top-down (scale 3 emits its lateral for the scale-2
+            # upsample; scale 2 emits its merged feature for scale 1)
+            from avcer_tpu.ops.pallas.fused_ssh_kernel import fused_ssh_heads
+
+            leaky = 0.1 if out_ch <= 64 else 0.0
+            interp = jax.default_backend() == "cpu"
+            lats, merges, lat_sx, mer_sx = FPNFolded(
+                out_ch, dtype=self.dtype, quant=self.quant, name="fpn"
+            )(tuple(f.shape[-1] for f in feats))
+
+            def scale_decls(i: int):
+                got = SSHFolded(out_ch, dtype=self.dtype, quant=self.quant,
+                                name=f"ssh{i + 1}")(out_ch)
+                convs, ssh_sx = got if self.quant else (got, None)
+                heads: list = []
+                for nm, width in (("BboxHead", 4), ("ClassHead", 2),
+                                  ("LandmarkHead", 10)):
+                    heads += list(_DeclHead(
+                        self.num_anchors * width, dtype=self.dtype,
+                        name=f"{nm}_{i}")(out_ch))
+                return convs, tuple(heads), ssh_sx
+
+            per_scale: list = [None, None, None]
+            feat_prev = None
+            for i in (2, 1, 0):
+                convs, heads, ssh_sx = scale_decls(i)
+                has_merge = i < 2
+                act_s = None
+                if self.quant:
+                    parts = [lat_sx[i][None]]
+                    if has_merge:
+                        parts.append(mer_sx[i][None])
+                    parts.append(ssh_sx)
+                    act_s = jnp.concatenate(parts)
+                up = None
+                if feat_prev is not None:
+                    up = _upsample_nearest_to(
+                        feat_prev, (feats[i].shape[1], feats[i].shape[2]))
+                res = fused_ssh_heads(
+                    feats[i].astype(self.dtype), convs, heads,
+                    leaky=leaky, interpret=interp, act_s=act_s,
+                    fpn_lat=tuple(lats[i]),
+                    fpn_merge=tuple(merges[i]) if has_merge else None,
+                    up=up, emit_feature=i > 0,
+                )
+                if i > 0:
+                    lo, co, ld, feat_prev = res
+                else:
+                    lo, co, ld = res
+                per_scale[i] = (lo.reshape(lo.shape[0], -1, 4),
+                                co.reshape(co.shape[0], -1, 2),
+                                ld.reshape(ld.shape[0], -1, 10))
+            loc = jnp.concatenate([o[0] for o in per_scale], axis=1)
+            conf = jnp.concatenate([o[1] for o in per_scale], axis=1)
+            landms = jnp.concatenate([o[2] for o in per_scale], axis=1)
+            if not self.raw_conf:
+                conf = jax.nn.softmax(conf.astype(jnp.float32), axis=-1)
+            return loc, conf, landms
 
         fpn = FPN(out_ch, dtype=self.dtype, quant=self.quant, name="fpn")(
             feats, train)

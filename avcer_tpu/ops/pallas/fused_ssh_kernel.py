@@ -80,30 +80,83 @@ def _cbn3(a, w, inv, shift, leaky: float | None, sx=None, out_dt=None):
     return y.reshape(r - 2, c - 2, co)
 
 
+def _mm1(a, w, inv, shift, leaky: float, sx=None, out_dt=None):
+    """1x1 ConvBN (+leaky/relu) over a (r, c, ci) band — the FPN lateral."""
+    r, c, ci = a.shape
+    a2 = a.reshape(r * c, ci)
+    if sx is not None:
+        acc_dt = _q_acc_dtype()
+        a2 = _quant(a2, sx, jnp.int8 if acc_dt == jnp.int32 else jnp.float32)
+        y = (jnp.dot(a2, w.astype(a2.dtype), preferred_element_type=acc_dt
+                     ).astype(jnp.float32) * inv + shift).astype(out_dt)
+    else:
+        acc = jnp.dot(a2, w, preferred_element_type=jnp.float32)
+        y = acc.astype(w.dtype) * inv + shift
+    y = jnp.maximum(y, 0) if leaky == 0.0 else jnp.where(
+        y >= 0, y, y * jnp.asarray(leaky, y.dtype))
+    return y.reshape(r, c, -1)
+
+
 def _kernel(xp_hbm, *refs, th: int, h: int, w: int, leaky: float,
-            quant: bool = False):
+            quant: bool = False, n_lat: int = 0, has_up: bool = False,
+            emit_feat: bool = False):
+    n = 4 if n_lat == 2 else 3
+    i = 0
+    up_hbm = None
+    if has_up:
+        up_hbm, i = refs[0], 1
+    lat_w = refs[i:i + 3 * n_lat]
+    i += 3 * n_lat
     (w3, i3, s3, w51, i51, s51, w5, i5, s5, w72, i72, s72, w7, i7, s7,
-     wl, bl, wc, bc, wm, bm) = [r[:] for r in refs[:21]]
-    rest = refs[21:]
+     wl, bl, wc, bc, wm, bm) = [r[:] for r in refs[i:i + 21]]
+    rest = refs[i + 21:]
     if quant:
         sx_ref, rest = rest[0], rest[1:]
-        sxs = [sx_ref[i] for i in range(5)]
+        sxs = [sx_ref[k] for k in range(5 + n_lat)]
     else:
-        sxs = [None] * 5
-    lo_ref, co_ref, ld_ref, xb, sem = rest[:5]
+        sxs = [None] * (5 + n_lat)
+    lo_ref, co_ref, ld_ref = rest[0], rest[1], rest[2]
+    rest = rest[3:]
+    feat_ref = None
+    if emit_feat:
+        feat_ref, rest = rest[0], rest[1:]
+    if has_up:
+        xb, ub, sem, sem2 = rest[:4]
+    else:
+        xb, sem = rest[:2]
 
     b = pl.program_id(0)
     rb = pl.program_id(1)
     r0 = rb * th
 
-    dma = pltpu.make_async_copy(xp_hbm.at[b, pl.ds(r0, th + 6)], xb, sem)
+    dma = pltpu.make_async_copy(xp_hbm.at[b, pl.ds(r0, th + 2 * n)], xb, sem)
     dma.start()
+    if has_up:
+        dma2 = pltpu.make_async_copy(
+            up_hbm.at[b, pl.ds(r0, th + 2 * n)], ub, sem2)
+        dma2.start()
+        dma2.wait()
     dma.wait()
 
     out_dt = xb.dtype
+    lat_sxs, sxs = sxs[:n_lat], sxs[n_lat:]
+    cur = xb[:]
+    if n_lat >= 1:   # FPN lateral 1x1 (output{i}) + optional top-down add
+        cur = _mm1(cur, lat_w[0][:], lat_w[1][:], lat_w[2][:], leaky,
+                   lat_sxs[0], out_dt)
+    if has_up:
+        cur = cur + ub[:]
+    cur = _mask_oof(cur, r0 - n, -n, h, w)
+    if n_lat == 2:   # FPN merge 3x3 (merge{i})
+        cur = _cbn3(cur, lat_w[3][:], lat_w[4][:], lat_w[5][:], leaky,
+                    lat_sxs[1], out_dt)
+        cur = _mask_oof(cur, r0 - 3, -3, h, w)
+
     # folded order: conv3X3, conv5X5_1, conv5X5_2, conv7X7_2, conv7x7_3
     sx3, sx51, sx5, sx72, sx7 = sxs
-    x = _mask_oof(xb[:], r0 - 3, -3, h, w)           # (th+6, w+6, C)
+    x = cur                                          # (th+6, w+6, C)
+    if emit_feat:
+        feat_ref[0] = x[3:th + 3, 3:w + 3]           # the FPN scale output
     c51 = _cbn3(x, w51, i51, s51, leaky, sx51, out_dt)   # (th+4, w+4, C/4)
     c51 = _mask_oof(c51, r0 - 2, -2, h, w)
     c72 = _cbn3(c51, w72, i72, s72, leaky, sx72, out_dt)  # (th+2, w+2, C/4)
@@ -133,49 +186,81 @@ def _kernel(xp_hbm, *refs, th: int, h: int, w: int, leaky: float,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("leaky", "interpret", "band"))
+                   static_argnames=("leaky", "interpret", "band",
+                                    "emit_feature"))
 def fused_ssh_heads(
-    x: jax.Array,       # [B, H, W, C] FPN scale feature, compute dtype
+    x: jax.Array,       # [B, H, W, Ci] FPN scale feature (or, with
+                        # fpn_lat, the raw backbone feature), compute dtype
     conv_folded: tuple,  # 5 x (w [3,3,ci,co], inv, shift):
                          # conv3X3, conv5X5_1, conv5X5_2, conv7X7_2, conv7x7_3
     head_folded: tuple,  # 3 x (w [C, out], bias): Bbox, Class, Landmark
     leaky: float = 0.0,
     interpret: bool = False,
     band: int = 32,
-    act_s: jax.Array | None = None,  # [5] f32 static activation scales ->
-                                     # int8 SSH convs (heads stay exact)
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    act_s: jax.Array | None = None,  # [5+n_lat] f32 static activation
+                                     # scales -> int8 convs (heads exact);
+                                     # order: lateral, merge, then SSH convs
+    fpn_lat: tuple | None = None,    # (w [Ci, C], inv, shift): FPN lateral
+    fpn_merge: tuple | None = None,  # (w [3,3,C,C], inv, shift): FPN merge
+    up: jax.Array | None = None,     # [B, H, W, C] upsampled higher level
+    emit_feature: bool = False,      # also return this scale's FPN output
+):
     bsz, h, w, _ = x.shape
+    n_lat = (fpn_lat is not None) + (fpn_merge is not None)
+    if fpn_merge is not None and fpn_lat is None:
+        raise ValueError("fpn_merge requires fpn_lat")
+    n = 4 if n_lat == 2 else 3
     th = _pick_band(h, band)
     nb = -(-h // th)
     hp = nb * th
-    xp = jnp.pad(x, ((0, 0), (3, 3 + hp - h), (3, 3), (0, 0)))
+    pad = ((0, 0), (n, n + hp - h), (n, n), (0, 0))
+    xp = jnp.pad(x, pad)
     dtype = x.dtype
+    c_feat = conv_folded[0].shape[-2] if fpn_lat is None \
+        else fpn_lat[0].shape[-1]
     outs = [jax.ShapeDtypeStruct((bsz, hp, w, hw.shape[-1]), dtype)
             for hw, _ in zip(head_folded[::2], head_folded[1::2])]
+    out_specs = [
+        pl.BlockSpec((1, th, w, o.shape[-1]), lambda b, r: (b, r, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for o in outs
+    ]
+    if emit_feature:
+        outs.append(jax.ShapeDtypeStruct((bsz, hp, w, c_feat), dtype))
+        out_specs.append(
+            pl.BlockSpec((1, th, w, c_feat), lambda b, r: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM))
 
-    operands = tuple(conv_folded) + tuple(head_folded)
-    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in operands]
+    operands: tuple = ()
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    if up is not None:
+        operands += (jnp.pad(up.astype(dtype), pad),)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    operands += tuple(fpn_lat or ()) + tuple(fpn_merge or ())
+    operands += tuple(conv_folded) + tuple(head_folded)
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)
+                 for _ in range(len(operands) - (up is not None))]
     if act_s is not None:
-        operands = operands + (act_s.astype(jnp.float32),)
-        w_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-    loc, conf, ldm = pl.pallas_call(
+        operands += (act_s.astype(jnp.float32),)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    scratch = [pltpu.VMEM((th + 2 * n, w + 2 * n, x.shape[-1]), dtype)]
+    if up is not None:
+        scratch.append(pltpu.VMEM((th + 2 * n, w + 2 * n, c_feat), dtype))
+    scratch.append(pltpu.SemaphoreType.DMA(()))
+    if up is not None:
+        scratch.append(pltpu.SemaphoreType.DMA(()))
+
+    res = pl.pallas_call(
         functools.partial(_kernel, th=th, h=h, w=w, leaky=leaky,
-                          quant=act_s is not None),
+                          quant=act_s is not None, n_lat=n_lat,
+                          has_up=up is not None, emit_feat=emit_feature),
         grid=(bsz, nb),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + w_specs,
-        out_specs=[
-            pl.BlockSpec((1, th, w, o.shape[-1]), lambda b, r: (b, r, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for o in outs
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=tuple(outs),
-        scratch_shapes=[
-            pltpu.VMEM((th + 6, w + 6, x.shape[-1]), dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(xp, *operands)
     if hp != h:
-        loc, conf, ldm = loc[:, :h], conf[:, :h], ldm[:, :h]
-    return loc, conf, ldm
+        res = tuple(o[:, :h] for o in res)
+    return res

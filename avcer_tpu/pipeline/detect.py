@@ -73,6 +73,8 @@ class DetectStage:
             fused_entries=bool(getattr(cfg, "fused_entries", False))
             and bool(cfg.fused_tails) and mesh is None,
             fused_ssh=bool(getattr(cfg, "fused_ssh", False)) and mesh is None,
+            fused_fpn=bool(getattr(cfg, "fused_fpn", False))
+            and bool(getattr(cfg, "fused_ssh", False)) and mesh is None,
         )
         # act_scales collection must run through the QConv path (the folded
         # declarations never UPDATE the running max) — a fused-free twin

@@ -318,13 +318,13 @@ def main() -> None:
             # + SSH+heads fused per FPN scale (fused_ssh_kernel)
             ("r50_640_fusede", "resnet50", 640, "none", inner.variables, None,
              {"fused_layer1": True, "fused_tails": True,
-              "fused_entries": True, "fused_ssh": True}),
+              "fused_entries": True, "fused_ssh": True, "fused_fpn": True}),
             ("r50_448", "resnet50", 448, "none", inner.variables, None, {}),
             ("r50_448_fused", "resnet50", 448, "none", inner.variables, 150,
              {"fused_layer1": True, "fused_tails": True}),
             ("r50_448_fusede", "resnet50", 448, "none", inner.variables, 150,
              {"fused_layer1": True, "fused_tails": True,
-              "fused_entries": True, "fused_ssh": True}),
+              "fused_entries": True, "fused_ssh": True, "fused_fpn": True}),
             ("r50_640_int8", "resnet50", 640, "int8", inner.variables, None,
              {}),
             ("r50_448_int8", "resnet50", 448, "int8", inner.variables, 150,
@@ -333,10 +333,10 @@ def main() -> None:
             # (TVBottleneckFolded quant fold; same act_scales tree)
             ("r50_640_int8f", "resnet50", 640, "int8", inner.variables, None,
              {"fused_layer1": True, "fused_tails": True,
-              "fused_entries": True, "fused_ssh": True}),
+              "fused_entries": True, "fused_ssh": True, "fused_fpn": True}),
             ("r50_448_int8f", "resnet50", 448, "int8", inner.variables, 150,
              {"fused_layer1": True, "fused_tails": True,
-              "fused_entries": True, "fused_ssh": True}),
+              "fused_entries": True, "fused_ssh": True, "fused_fpn": True}),
             ("mnet_640_int8", "mobilenet0.25", 640, "int8", mnet_vars, 200,
              {}),
             ("mnet_448_int8", "mobilenet0.25", 448, "int8", mnet_vars, 400,

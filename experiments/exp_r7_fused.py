@@ -164,11 +164,15 @@ def main() -> None:
             # above to hold on hardware)
             (True, True, True, False, "fused1te"),
             # + SSH+heads fused per scale (fused_ssh_kernel)
-            (True, True, True, True, "fused1tes"),
-            (False, False, False, True, "fused0s")):
+            (True, True, True, 1, "fused1tes"),
+            (False, False, False, 1, "fused0s"),
+            # + FPN folded into the per-scale programs too
+            (True, True, True, 2, "fused1tesf"),
+            (False, False, False, 2, "fused0sf")):
         rf = RetinaFace(backbone="resnet50", dtype=jnp.bfloat16,
                         fused_layer1=fused1, fused_tails=tails,
-                        fused_entries=entries, fused_ssh=fssh)
+                        fused_entries=entries, fused_ssh=bool(fssh),
+                        fused_fpn=fssh == 2)
         if rv is None:
             rv = jax.device_put(
                 rf.init(key, jnp.zeros((1, 64, 64, 3), jnp.float32)))
@@ -189,7 +193,8 @@ def main() -> None:
     for fused, tag2 in ((False, "int8"), (True, "int8f")):
         rf = RetinaFace(backbone="resnet50", dtype=jnp.bfloat16, quant=True,
                         fused_layer1=fused, fused_tails=fused,
-                        fused_entries=fused, fused_ssh=fused)
+                        fused_entries=fused, fused_ssh=fused,
+                        fused_fpn=fused)
         if qv is None:
             calib = RetinaFace(backbone="resnet50", dtype=jnp.bfloat16,
                                quant=True)

@@ -143,6 +143,42 @@ def test_fused_ssh_heads_match_xla(rng):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fused_fpn_ssh_heads_match_xla(rng):
+    """fused_fpn + fused_ssh: the WHOLE post-backbone detector (FPN
+    lateral + top-down upsample-add + merge + SSH DAG + heads) as one
+    Pallas program per scale, sequenced top-down — exact and int8, both
+    backbones. Parameter trees identical (act_scales init values are
+    calibration state and excluded)."""
+    from avcer_tpu.models.retinaface import RetinaFace
+
+    key = jax.random.PRNGKey(0)
+    for backbone, quant in (("resnet50", False), ("resnet50", True),
+                            ("mobilenet0.25", False)):
+        exact = RetinaFace(backbone=backbone, dtype=jnp.float32, quant=quant)
+        fused = RetinaFace(backbone=backbone, dtype=jnp.float32, quant=quant,
+                           fused_ssh=True, fused_fpn=True)
+        x = jnp.asarray(rng.normal(size=(1, 72, 56, 3)).astype(np.float32))
+        v = exact.init(key, jnp.zeros((1, 64, 64, 3), jnp.float32))
+        if quant:
+            _, upd = exact.apply(v, x, mutable=["act_scales"])
+            v = {**v, "act_scales": upd["act_scales"]}
+        want = exact.apply(v, x)
+        got = fused.apply(v, x)
+        for wv, gv in zip(want, got):
+            wv, gv = np.asarray(wv), np.asarray(gv)
+            rel = np.abs(wv - gv).max() / max(np.abs(wv).max(), 1e-6)
+            assert rel < 1e-4, (backbone, quant, rel)
+        va = exact.init(jax.random.PRNGKey(7), x)
+        vb = fused.init(jax.random.PRNGKey(7), x)
+        la = jax.tree_util.tree_leaves_with_path(va)
+        lb = jax.tree_util.tree_leaves_with_path(vb)
+        assert [p for p, _ in la] == [p for p, _ in lb]
+        for (pa, a), (_, b) in zip(la, lb):
+            if "act_scales" in str(pa):
+                continue
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_ssh_heads_int8_matches_xla_int8(rng):
     """fused_ssh under quant: the 5 SSH convs run int8 inside the kernel
     (heads stay exact, as in the XLA int8 path) and reproduce the XLA
