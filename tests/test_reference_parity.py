@@ -153,7 +153,8 @@ def test_real_retinaface_parity(rng, backbone, fused):
     variables = convert.convert_retinaface(real.state_dict(), backbone=backbone)
     model = RetinaFace(backbone=backbone, dtype=jnp.float32,
                        fused_layer1=fused, fused_tails=fused,
-                       fused_entries=fused)
+                       fused_entries=fused, fused_ssh=fused,
+                       fused_fpn=fused)
     loc, conf, landms = jax.jit(model.apply)(
         variables, jnp.asarray(x.transpose(0, 2, 3, 1))
     )
