@@ -139,12 +139,18 @@ def _mask_oof(a, row0, col0, h, w):
     Band-array position (s, c) holds frame pixel (row0 + s, col0 + c);
     anything outside [0,h) x [0,w) must be zero before entering a 3x3 conv.
     """
+    # Mosaic can't insert a minor dim on an i1 vector ("Insertion of minor
+    # dim that is not a no-op only supported for 32-bit types") and 3-D
+    # iotas at band size blow the VMEM stack (two int32 [r, c, ch] temps
+    # per mask). So: 2-D iotas -> i1 mask -> f32 (32-bit insert is legal)
+    # -> multiply. Exact: band values are finite bf16/f32, so x*1 == x and
+    # x*0 == 0 (the conv zero-padding semantics).
     rows = jax.lax.broadcasted_iota(jnp.int32, a.shape[:2], 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, a.shape[:2], 1)
     fr = row0 + rows
     fc = col0 + cols
     ok = (fr >= 0) & (fr < h) & (fc >= 0) & (fc < w)
-    return jnp.where(ok[..., None], a, jnp.zeros((), a.dtype))
+    return a * ok.astype(jnp.float32)[..., None].astype(a.dtype)
 
 
 def _take_s2(a, ky: int, kx: int, ro: int, co: int):
@@ -157,7 +163,8 @@ def _take_s2(a, ky: int, kx: int, ro: int, co: int):
 
 
 def _kernel(xp_hbm, *refs, th: int, h: int, w: int, blocks: tuple[str, ...],
-            hin: int = 0, win: int = 0, quant: bool = False):
+            hin: int = 0, win: int = 0, quant: bool = False,
+            cols_used: int = 0):
     n = len(blocks)
     s2 = blocks[0] in ("s2ds", "s2pre")
     n1 = n - 1
@@ -186,6 +193,12 @@ def _kernel(xp_hbm, *refs, th: int, h: int, w: int, blocks: tuple[str, ...],
     dma.wait()
 
     cur = xb[:]                                  # band at input resolution
+    if cols_used and cols_used != cur.shape[1]:
+        # The HBM copy + scratch are column-padded to the (8,128) tile so
+        # the DMA's memref slice is tile-aligned (Mosaic: "Slice shape
+        # along dimension 2 must be aligned to tiling (8)"); the band's
+        # true geometry is restored here with a vector slice.
+        cur = cur[:, :cols_used]
     out_dt = cur.dtype
     if blocks[0] == "s2pre":
         # conv1/projection stride-2 (TF v1): both read input (2j, 2i) only,
@@ -333,10 +346,30 @@ def fused_chain(
         kern = functools.partial(_kernel, th=th, h=h, w=w, blocks=blocks,
                                  quant=act_s is not None)
         out_w, out_h = w, h
-    xp = jnp.pad(x, ((0, 0), pad_r, pad_c, (0, 0)))
+    # Mosaic requires the DMA slice's second-minor dim to be tile-aligned
+    # ("Slice shape along dimension 2 must be aligned to tiling (8)"):
+    # column-pad the HBM copy + scratch to a multiple of 8 and let the
+    # kernel value-slice back to the true band width (cols_used).
+    cols_used = scratch_cols
+    scratch_cols = -(-scratch_cols // 8) * 8
+    pad_c = (pad_c[0], pad_c[1] + scratch_cols - cols_used)
+    kern = functools.partial(kern, cols_used=cols_used)
+    # Mosaic likewise requires the DMA slice's lane dim tile-aligned (128):
+    # zero-pad the input channels and the first block's conv1 + projection
+    # weight INPUT rows to match — zero channels contribute exactly zero to
+    # every dot product, so the math is unchanged (no lane slicing needed).
+    operands = list(folded)
+    pad_ch = (-x.shape[-1]) % 128
+    if pad_ch:
+        if blocks[0] == "id":
+            raise ValueError(
+                "fused_chain with cin % 128 != 0 needs a projection entry "
+                "block (identity residuals cannot be channel-padded)")
+        operands[0] = jnp.pad(operands[0], ((0, pad_ch), (0, 0)))
+        operands[9] = jnp.pad(operands[9], ((0, pad_ch), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), pad_r, pad_c, (0, pad_ch)))
 
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in folded]
-    operands = list(folded)
     if act_s is not None:
         w_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(act_s.astype(jnp.float32))
@@ -350,7 +383,8 @@ def fused_chain(
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, hp, out_w, c_out), dtype),
         scratch_shapes=[
-            pltpu.VMEM((scratch_rows, scratch_cols, x.shape[-1]), dtype),
+            pltpu.VMEM((scratch_rows, scratch_cols, x.shape[-1] + pad_ch),
+                       dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

@@ -99,7 +99,7 @@ def _mm1(a, w, inv, shift, leaky: float, sx=None, out_dt=None):
 
 def _kernel(xp_hbm, *refs, th: int, h: int, w: int, leaky: float,
             quant: bool = False, n_lat: int = 0, has_up: bool = False,
-            emit_feat: bool = False):
+            emit_feat: bool = False, cols_used: int = 0):
     n = 4 if n_lat == 2 else 3
     i = 0
     up_hbm = None
@@ -141,11 +141,18 @@ def _kernel(xp_hbm, *refs, th: int, h: int, w: int, leaky: float,
     out_dt = xb.dtype
     lat_sxs, sxs = sxs[:n_lat], sxs[n_lat:]
     cur = xb[:]
+    if cols_used and cols_used != cur.shape[1]:
+        # HBM copy + scratch are column-padded to the (8,128) tile so the
+        # DMA memref slice is tile-aligned; restore the true band width.
+        cur = cur[:, :cols_used]
     if n_lat >= 1:   # FPN lateral 1x1 (output{i}) + optional top-down add
         cur = _mm1(cur, lat_w[0][:], lat_w[1][:], lat_w[2][:], leaky,
                    lat_sxs[0], out_dt)
     if has_up:
-        cur = cur + ub[:]
+        u = ub[:]
+        if cols_used and cols_used != u.shape[1]:
+            u = u[:, :cols_used]
+        cur = cur + u
     cur = _mask_oof(cur, r0 - n, -n, h, w)
     if n_lat == 2:   # FPN merge 3x3 (merge{i})
         cur = _cbn3(cur, lat_w[3][:], lat_w[4][:], lat_w[5][:], leaky,
@@ -213,11 +220,47 @@ def fused_ssh_heads(
     th = _pick_band(h, band)
     nb = -(-h // th)
     hp = nb * th
-    pad = ((0, 0), (n, n + hp - h), (n, n), (0, 0))
-    xp = jnp.pad(x, pad)
     dtype = x.dtype
     c_feat = conv_folded[0].shape[-2] if fpn_lat is None \
         else fpn_lat[0].shape[-1]
+    # Mosaic tile-alignment (see fused_resnet_kernel.fused_chain): the DMA
+    # slice's second-minor dim must be 8-aligned and its lane dim
+    # 128-aligned. Column-pad the HBM copies + scratch (the kernel slices
+    # back to cols_used); zero-pad sub-128 channel counts (mobilenet's
+    # C=64 FPN) together with every weight row that reads them — zero
+    # channels contribute exactly zero to each dot product.
+    cols_used = w + 2 * n
+    cols_pad = -(-cols_used // 8) * 8
+    pad_ci = (-x.shape[-1]) % 128
+    pad_cf = (-c_feat) % 128
+    pad = ((0, 0), (n, n + hp - h), (n, n + cols_pad - cols_used),
+           (0, pad_ci))
+    xp = jnp.pad(x, pad)
+    fpn_lat = list(fpn_lat) if fpn_lat is not None else None
+    fpn_merge = list(fpn_merge) if fpn_merge is not None else None
+    conv_folded = list(conv_folded)
+    if pad_ci and fpn_lat is not None:
+        fpn_lat[0] = jnp.pad(fpn_lat[0], ((0, pad_ci), (0, 0)))
+    def _pad_last(t, p):
+        # inv/shift may be [C] or [1, C]: pad the channel (last) axis only
+        return jnp.pad(t, [(0, 0)] * (t.ndim - 1) + [(0, p)])
+
+    if pad_cf:
+        if fpn_lat is not None:
+            # lateral output (and merge in/out) pad to the lane tile so the
+            # padded top-down band adds lane-to-lane; tail lanes stay 0.
+            fpn_lat[0] = jnp.pad(fpn_lat[0], ((0, 0), (0, pad_cf)))
+            fpn_lat[1] = _pad_last(fpn_lat[1], pad_cf)
+            fpn_lat[2] = _pad_last(fpn_lat[2], pad_cf)
+        if fpn_merge is not None:
+            fpn_merge[0] = jnp.pad(
+                fpn_merge[0], ((0, 0), (0, 0), (0, pad_cf), (0, pad_cf)))
+            fpn_merge[1] = _pad_last(fpn_merge[1], pad_cf)
+            fpn_merge[2] = _pad_last(fpn_merge[2], pad_cf)
+        # SSH convs reading the (padded) feature: conv3X3 + conv5X5_1
+        for wi in (0, 3):
+            conv_folded[wi] = jnp.pad(
+                conv_folded[wi], ((0, 0), (0, 0), (0, pad_cf), (0, 0)))
     outs = [jax.ShapeDtypeStruct((bsz, hp, w, hw.shape[-1]), dtype)
             for hw, _ in zip(head_folded[::2], head_folded[1::2])]
     out_specs = [
@@ -226,15 +269,18 @@ def fused_ssh_heads(
         for o in outs
     ]
     if emit_feature:
-        outs.append(jax.ShapeDtypeStruct((bsz, hp, w, c_feat), dtype))
+        outs.append(jax.ShapeDtypeStruct((bsz, hp, w, c_feat + pad_cf),
+                                         dtype))
         out_specs.append(
-            pl.BlockSpec((1, th, w, c_feat), lambda b, r: (b, r, 0, 0),
+            pl.BlockSpec((1, th, w, c_feat + pad_cf),
+                         lambda b, r: (b, r, 0, 0),
                          memory_space=pltpu.VMEM))
 
     operands: tuple = ()
     in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if up is not None:
-        operands += (jnp.pad(up.astype(dtype), pad),)
+        operands += (jnp.pad(up.astype(dtype),
+                             pad[:3] + ((0, pad_cf),)),)
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     operands += tuple(fpn_lat or ()) + tuple(fpn_merge or ())
     operands += tuple(conv_folded) + tuple(head_folded)
@@ -243,9 +289,11 @@ def fused_ssh_heads(
     if act_s is not None:
         operands += (act_s.astype(jnp.float32),)
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-    scratch = [pltpu.VMEM((th + 2 * n, w + 2 * n, x.shape[-1]), dtype)]
+    scratch = [pltpu.VMEM((th + 2 * n, cols_pad, x.shape[-1] + pad_ci),
+                          dtype)]
     if up is not None:
-        scratch.append(pltpu.VMEM((th + 2 * n, w + 2 * n, c_feat), dtype))
+        scratch.append(pltpu.VMEM((th + 2 * n, cols_pad, c_feat + pad_cf),
+                                  dtype))
     scratch.append(pltpu.SemaphoreType.DMA(()))
     if up is not None:
         scratch.append(pltpu.SemaphoreType.DMA(()))
@@ -253,7 +301,8 @@ def fused_ssh_heads(
     res = pl.pallas_call(
         functools.partial(_kernel, th=th, h=h, w=w, leaky=leaky,
                           quant=act_s is not None, n_lat=n_lat,
-                          has_up=up is not None, emit_feat=emit_feature),
+                          has_up=up is not None, emit_feat=emit_feature,
+                          cols_used=cols_used),
         grid=(bsz, nb),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -261,6 +310,9 @@ def fused_ssh_heads(
         scratch_shapes=scratch,
         interpret=interpret,
     )(xp, *operands)
+    res = tuple(res)
     if hp != h:
         res = tuple(o[:, :h] for o in res)
+    if emit_feature and pad_cf:
+        res = res[:-1] + (res[-1][..., :c_feat],)
     return res
