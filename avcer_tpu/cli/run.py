@@ -23,6 +23,9 @@ def main(argv=None) -> int:
     # overrides it, hence the dedicated knob.
     import os as _os
 
+    from avcer_tpu.core.tpuenv import ensure_scoped_vmem
+
+    ensure_scoped_vmem()  # fused Pallas chains need >16MiB scoped VMEM
     _plat = _os.environ.get("AVCER_PLATFORM")
     if _plat:
         import jax as _jax

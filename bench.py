@@ -32,6 +32,13 @@ import numpy as np
 # detector/CNN/wav2vec2 compiles
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
 
+# fused Pallas chains need >16MiB scoped VMEM (core/tpuenv.py rationale);
+# must be in env before the first backend init
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from avcer_tpu.core.tpuenv import ensure_scoped_vmem  # noqa: E402
+
+ensure_scoped_vmem()
+
 NORTH_STAR = 200.0  # video-sec/sec per chip (BASELINE.json)
 
 

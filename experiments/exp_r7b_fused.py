@@ -31,6 +31,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
 
+from avcer_tpu.core.tpuenv import ensure_scoped_vmem  # noqa: E402
+
+ensure_scoped_vmem()
+
 import jax
 import jax.numpy as jnp
 
@@ -104,7 +108,7 @@ def main() -> None:
     variables = jax.device_put(
         ref.init(key, jnp.zeros((1, 16, 16, 64), jnp.float32)))
     got_ref = None
-    for band in (15, 30, 45, 90):
+    for band in (8, 15, 30, 45):
         try:
             m = Layer1(fused=True, band=band)
             sec = time_looped(lambda x: m.apply(variables, x), xl, 200)
