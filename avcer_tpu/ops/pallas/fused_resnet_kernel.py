@@ -400,3 +400,152 @@ def fused_layer1(
 ) -> jax.Array:
     return fused_chain(x, folded, ("ds", "id", "id"),
                        interpret=interpret, band=band)
+
+
+# ---------------------------------------------------------------------------
+# v2 ("flat") kernel: exp_r7b measured the banded 3-D kernel above at ~3x
+# SLOWER than XLA's unfused layer1 (0.44-0.54 vs 0.144 ms/frame) despite the
+# band DMA being ~1 us — the cost is Mosaic relayouts: every 3x3 tap slice
+# ``a[ky:ky+r-2, kx:kx+c-2, :].reshape(m, ci)`` shifts BOTH the sublane (c)
+# and packed-row dims of a 3-D value, materializing a relayouted copy per
+# tap (9 per conv, 27+ per block). The flat kernel removes them:
+#
+# * the band lives as ONE 2-D value (R*C, ch) for the whole chain — row-major
+#   flattening makes the (ky, kx) tap of a SAME 3x3 conv a ROW SLICE at
+#   static offset (ky-1)*C + (kx-1) of a zero-extended copy, so each tap is
+#   a 1-D sublane shift (and 6 of 9 share their shift class via kx);
+# * geometry stays CONSTANT through the chain (SAME convs over the full
+#   halo'd band instead of VALID shrinking): wrap-around junk from the flat
+#   taps lands only at out-of-frame or halo positions, which the per-block
+#   out-of-frame re-mask (required anyway for conv zero-padding semantics)
+#   zeroes before every 3x3; halo junk never reaches the central th rows
+#   the program emits (after n 3x3s, rows [n, R-n) are exact — R = th+2n);
+# * identity residuals are the unshifted band value — no slicing at all;
+# * the HBM padded copy is PRE-FLATTENED to (B, Hp*C, ch), so a band (which
+#   overlaps its neighbors by 2n rows) is one contiguous, tile-aligned flat
+#   slice and the DMA lands directly in the 2-D scratch.
+#
+# Exactness: identical math to fused_chain — same folded weights, same f32
+# MXU accumulation per tap, same bf16 rounding points, same mask semantics
+# (junk positions are never read into in-frame outputs; equivalence pinned
+# by tests against the 3-D kernel and the unfused path).
+# ---------------------------------------------------------------------------
+
+
+def _conv3x3_flat(a2d, w, inv, shift, cpad: int):
+    """SAME 3x3/s1 conv on a row-major flat band (M, ci) with row pitch
+    ``cpad``: 9 static row-offset slices of a zero-extended copy, f32 MXU
+    accumulation, bf16 round, folded BN, ReLU."""
+    m, ci = a2d.shape
+    z = jnp.zeros((cpad + 8, ci), a2d.dtype)
+    ext = jnp.concatenate([z, a2d, z], axis=0)
+    base = cpad + 8
+    acc = jnp.zeros((m, w.shape[-1]), jnp.float32)
+    for ky in range(3):
+        for kx in range(3):
+            off = base + (ky - 1) * cpad + (kx - 1)
+            sl = jax.lax.slice_in_dim(ext, off, off + m, axis=0)
+            acc = acc + jnp.dot(sl, w[ky, kx],
+                                preferred_element_type=jnp.float32)
+    y = acc.astype(w.dtype) * inv + shift
+    return jnp.maximum(y, 0)
+
+
+def _kernel_flat(xp_hbm, *refs, th: int, h: int, w: int,
+                 blocks: tuple[str, ...], cpad: int):
+    n = len(blocks)
+    n_w = sum(12 if b == "ds" else 9 for b in blocks)
+    w_refs = refs[:n_w]
+    o_ref, xb, sem = refs[n_w], refs[n_w + 1], refs[n_w + 2]
+    vals = [r[:] for r in w_refs]
+
+    b = pl.program_id(0)
+    rb = pl.program_id(1)
+    r0 = rb * th
+    rows = th + 2 * n
+
+    dma = pltpu.make_async_copy(
+        xp_hbm.at[b, pl.ds(r0 * cpad, rows * cpad)], xb, sem)
+    dma.start()
+    dma.wait()
+
+    # One frame mask for the whole chain (geometry is constant): band
+    # position (s, c) <-> frame pixel (r0 - n + s, c - n).
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, cpad), 0)
+    ci_ = jax.lax.broadcasted_iota(jnp.int32, (rows, cpad), 1)
+    fr = r0 - n + ri
+    fc = ci_ - n
+    ok = (fr >= 0) & (fr < h) & (fc >= 0) & (fc < w)
+    okf = ok.astype(jnp.float32).reshape(rows * cpad, 1)
+
+    cur = xb[:]                                   # (rows*cpad, ch)
+    out_dt = cur.dtype
+    okd = okf.astype(out_dt)
+    for kind in blocks:
+        take = 12 if kind == "ds" else 9
+        (w1, i1, s1, w2, i2, s2w, w3, i3, s3, *ds_w) = vals[:take]
+        del vals[:take]
+        t1 = _mm(cur, w1, i1, s1) * okd
+        t2 = _conv3x3_flat(t1, w2, i2, s2w, cpad)
+        y = _mm(t2, w3, i3, s3, relu=False)
+        if kind == "ds":
+            wd, idv, sd = ds_w
+            res = _mm(cur, wd, idv, sd, relu=False)
+        else:
+            res = cur
+        cur = jnp.maximum(y + res, 0)
+    # Emit the central (th, w) region: one relayout back to 3-D.
+    full = cur.reshape(rows, cpad, cur.shape[-1])
+    o_ref[0] = full[n:n + th, n:n + w]
+
+
+@functools.partial(jax.jit, static_argnames=("blocks", "interpret", "band"))
+def fused_chain_flat(
+    x: jax.Array,        # [B, H, W, Cin] compute-dtype NHWC
+    folded: tuple,       # flat (w, inv, shift[, ds triple]) per block
+    blocks: tuple[str, ...],  # "ds" | "id" only (stride-1 chains)
+    interpret: bool = False,
+    band: int = 32,
+) -> jax.Array:
+    if any(b not in ("ds", "id") for b in blocks):
+        raise ValueError("fused_chain_flat handles stride-1 chains only")
+    bsz, h, w, cin = x.shape
+    n = len(blocks)
+    dtype = x.dtype
+    c_out = folded[6].shape[-1]
+    th = _pick_band(h, band)
+    nb = -(-h // th)
+    hp = nb * th
+    # Row pitch: true band width w + 2n halo cols, padded to the 8-sublane
+    # tile so flat row offsets r0*cpad stay tile-aligned for the DMA.
+    cpad = -(-(w + 2 * n) // 8) * 8
+    operands = list(folded)
+    pad_ch = (-cin) % 128
+    if pad_ch:
+        if blocks[0] == "id":
+            raise ValueError(
+                "fused_chain_flat with cin % 128 != 0 needs a projection "
+                "entry block (identity residuals cannot be channel-padded)")
+        operands[0] = jnp.pad(operands[0], ((0, pad_ch), (0, 0)))
+        operands[9] = jnp.pad(operands[9], ((0, pad_ch), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (n, n + hp - h), (n, cpad - w - n), (0, pad_ch)))
+    xp = xp.reshape(bsz, (hp + 2 * n) * cpad, cin + pad_ch)
+
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in folded]
+    out = pl.pallas_call(
+        functools.partial(_kernel_flat, th=th, h=h, w=w, blocks=blocks,
+                          cpad=cpad),
+        grid=(bsz, nb),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + w_specs,
+        out_specs=pl.BlockSpec(
+            (1, th, w, c_out), lambda b, r: (b, r, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, w, c_out), dtype),
+        scratch_shapes=[
+            pltpu.VMEM(((th + 2 * n) * cpad, cin + pad_ch), dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, *operands)
+    return out[:, :h] if hp != h else out

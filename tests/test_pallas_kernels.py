@@ -55,6 +55,41 @@ def test_fused_layer1_matches_xla(rng):
             )
 
 
+def test_fused_chain_flat_matches_banded(rng):
+    """The v2 flat-layout kernel (fused_chain_flat: 2-D band, SAME-shaped
+    taps as row-offset slices, constant geometry) is bit-identical to the
+    banded 3-D kernel on stride-1 chains, across band splits, non-divisible
+    dims, and both the projection-entry and 128-channel identity cases."""
+    from avcer_tpu.ops.pallas import fused_resnet_kernel as frk
+
+    def mk(k, cin, co):
+        w = jnp.asarray(rng.normal(size=(k, k, cin, co)) * 0.1, jnp.float32)
+        inv = jnp.asarray(rng.normal(size=(1, co)) * 0.2 + 1, jnp.float32)
+        sh = jnp.asarray(rng.normal(size=(1, co)) * 0.1, jnp.float32)
+        return (w[0, 0] if k == 1 else w), inv, sh
+
+    for shape, blocks, band in (
+            ((2, 13, 17, 64), ("ds", "id", "id"), 8),
+            ((1, 37, 29, 128), ("id", "id"), 16),
+            ((1, 24, 16, 64), ("ds",), 24),
+    ):
+        cin = shape[-1]
+        p, co = 24, cin if blocks[0] == "id" else 64
+        folded: list = []
+        for kind in blocks:
+            folded += [*mk(1, cin, p), *mk(3, p, p), *mk(1, p, co)]
+            if kind == "ds":
+                folded += [*mk(1, cin, co)]
+            cin = co
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        want = frk.fused_chain(x, tuple(folded), blocks, interpret=True,
+                               band=band)
+        got = frk.fused_chain_flat(x, tuple(folded), blocks, interpret=True,
+                                   band=band)
+        assert want.shape == got.shape
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_fused_layer1_bf16_close(rng):
     """bf16 serving dtype: same rounding points as the unfused path —
     outputs agree to bf16 resolution."""
