@@ -425,6 +425,16 @@ def fused_layer1(
 #   overlaps its neighbors by 2n rows) is one contiguous, tile-aligned flat
 #   slice and the DMA lands directly in the 2-D scratch.
 #
+# Mosaic constraints shape two details (both hit "unsupported shape cast"
+# INTERNAL errors on real hardware otherwise):
+# * the in-frame mask cannot be built in-kernel (2-D iota -> flat needs a
+#   (rows, cpad) -> (rows*cpad, 1) reshape). It is geometry-only, so it is
+#   precomputed OUTSIDE as an (nb, rows*cpad, 1) array and fed as a
+#   per-band-blocked VMEM input;
+# * the output leaves the kernel IN FLAT LAYOUT (the central th rows are
+#   one contiguous sublane slice at offset n*cpad); XLA unflattens and
+#   crops the cpad pitch after the pallas_call.
+#
 # Exactness: identical math to fused_chain — same folded weights, same f32
 # MXU accumulation per tap, same bf16 rounding points, same mask semantics
 # (junk positions are never read into in-frame outputs; equivalence pinned
@@ -451,12 +461,12 @@ def _conv3x3_flat(a2d, w, inv, shift, cpad: int):
     return jnp.maximum(y, 0)
 
 
-def _kernel_flat(xp_hbm, *refs, th: int, h: int, w: int,
+def _kernel_flat(xp_hbm, *refs, th: int, n: int,
                  blocks: tuple[str, ...], cpad: int):
-    n = len(blocks)
     n_w = sum(12 if b == "ds" else 9 for b in blocks)
     w_refs = refs[:n_w]
-    o_ref, xb, sem = refs[n_w], refs[n_w + 1], refs[n_w + 2]
+    mask_ref, o_ref, xb, sem = (refs[n_w], refs[n_w + 1], refs[n_w + 2],
+                                refs[n_w + 3])
     vals = [r[:] for r in w_refs]
 
     b = pl.program_id(0)
@@ -469,18 +479,12 @@ def _kernel_flat(xp_hbm, *refs, th: int, h: int, w: int,
     dma.start()
     dma.wait()
 
-    # One frame mask for the whole chain (geometry is constant): band
-    # position (s, c) <-> frame pixel (r0 - n + s, c - n).
-    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, cpad), 0)
-    ci_ = jax.lax.broadcasted_iota(jnp.int32, (rows, cpad), 1)
-    fr = r0 - n + ri
-    fc = ci_ - n
-    ok = (fr >= 0) & (fr < h) & (fc >= 0) & (fc < w)
-    okf = ok.astype(jnp.float32).reshape(rows * cpad, 1)
-
     cur = xb[:]                                   # (rows*cpad, ch)
     out_dt = cur.dtype
-    okd = okf.astype(out_dt)
+    # Frame mask for the whole chain (geometry is constant): precomputed
+    # per band outside the kernel (Mosaic cannot shape-cast a 2-D iota to
+    # the flat (rows*cpad, 1) layout in-kernel).
+    okd = mask_ref[0].astype(out_dt)              # (rows*cpad, 1)
     for kind in blocks:
         take = 12 if kind == "ds" else 9
         (w1, i1, s1, w2, i2, s2w, w3, i3, s3, *ds_w) = vals[:take]
@@ -494,9 +498,9 @@ def _kernel_flat(xp_hbm, *refs, th: int, h: int, w: int,
         else:
             res = cur
         cur = jnp.maximum(y + res, 0)
-    # Emit the central (th, w) region: one relayout back to 3-D.
-    full = cur.reshape(rows, cpad, cur.shape[-1])
-    o_ref[0] = full[n:n + th, n:n + w]
+    # Emit the central th rows IN FLAT LAYOUT: one contiguous sublane slice
+    # (offset n*cpad is a multiple of 8). XLA unflattens outside.
+    o_ref[0] = jax.lax.slice_in_dim(cur, n * cpad, (n + th) * cpad, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("blocks", "interpret", "band"))
@@ -531,21 +535,36 @@ def fused_chain_flat(
     xp = jnp.pad(x, ((0, 0), (n, n + hp - h), (n, cpad - w - n), (0, pad_ch)))
     xp = xp.reshape(bsz, (hp + 2 * n) * cpad, cin + pad_ch)
 
+    # Per-band in-frame mask, flat layout (geometry-only — computed here in
+    # XLA; band rb's rows [rb*th, rb*th + rows) of the padded frame).
+    rows = th + 2 * n
+    ri = jnp.arange(hp + 2 * n)
+    ci = jnp.arange(cpad)
+    ok2d = ((ri[:, None] >= n) & (ri[:, None] < n + h)
+            & (ci[None, :] >= n) & (ci[None, :] < n + w))
+    maskp = jnp.stack(
+        [ok2d[rb * th: rb * th + rows] for rb in range(nb)]
+    ).astype(jnp.float32).reshape(nb, rows * cpad, 1)
+
     w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in folded]
+    mask_spec = pl.BlockSpec((1, rows * cpad, 1), lambda b, r: (r, 0, 0),
+                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel_flat, th=th, h=h, w=w, blocks=blocks,
+        functools.partial(_kernel_flat, th=th, n=n, blocks=blocks,
                           cpad=cpad),
         grid=(bsz, nb),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + w_specs,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + w_specs + [mask_spec],
         out_specs=pl.BlockSpec(
-            (1, th, w, c_out), lambda b, r: (b, r, 0, 0),
+            (1, th * cpad, c_out), lambda b, r: (b, r, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz, hp, w, c_out), dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp * cpad, c_out), dtype),
         scratch_shapes=[
             pltpu.VMEM(((th + 2 * n) * cpad, cin + pad_ch), dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(xp, *operands)
+    )(xp, *operands, maskp)
+    # Unflatten the cpad pitch and crop halo columns / pad rows in XLA.
+    out = out.reshape(bsz, hp, cpad, c_out)[:, :, n:n + w]
     return out[:, :h] if hp != h else out
