@@ -288,7 +288,7 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
                         "still runs every frame")
     p.add_argument("--serving_profile",
                    choices=["parity", "balanced", "int8", "int8_s2",
-                            "int8_448", "fast", "turbo"],
+                            "int8_448", "int8_448_s2", "fast", "turbo"],
                    default="parity",
                    help="measured speed/quality presets (BENCH_NOTES.md "
                         "round-4 table): parity = reference-exact r50@640 "
@@ -304,6 +304,11 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
                         "reference's mobilenet0.25 backbone; turbo = fast "
                         "+ 448 bucket + detect stride 2 + shared audio "
                         "extractor. Explicit flags override the preset.")
+    p.add_argument("--exact_audio", action="store_true",
+                   help="keep the reference's per-window audio extraction "
+                        "even on quantized presets (disables the "
+                        "shared-extractor default; drift bound in "
+                        "PARITY.md is ~0 either way)")
     p.add_argument("--fused", action="store_true",
                    help="run the r50 detector + emotion-CNN bottleneck "
                         "chains as fused Pallas VMEM programs (exact "
@@ -318,8 +323,9 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
     )
     # None = flag not given -> preset decides (an EXPLICIT --long_side 640
     # with the turbo preset must stay 640, so the default is a sentinel)
-    small_bucket = a.serving_profile in ("turbo", "balanced", "int8_448")
-    strided = a.serving_profile in ("turbo", "int8_s2")
+    small_bucket = a.serving_profile in ("turbo", "balanced", "int8_448",
+                                         "int8_448_s2")
+    strided = a.serving_profile in ("turbo", "int8_s2", "int8_448_s2")
     long_side = a.long_side if a.long_side is not None else (
         448 if small_bucket else 640)
     stride = a.detect_stride if a.detect_stride is not None else (
@@ -327,6 +333,11 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
     cfg = PipelineConfig(
         detector=DetectorConfig(
             long_side=long_side, stride=stride, backbone=backbone, quant=quant,
+            # the mnet@448 program underfills the chip at the default b32;
+            # b64 is a measured 1.44x (0.085 -> 0.059 ms/frame, exp_r9) —
+            # turbo serves it. r50@448 shows NO b64 win (0.202 vs 0.209),
+            # so the other presets keep the calibrated 32.
+            batch_size=64 if a.serving_profile == "turbo" else 32,
             fused_layer1=a.fused, fused_tails=a.fused, fused_entries=a.fused,
             fused_ssh=a.fused, fused_fpn=a.fused,
         ),
@@ -335,9 +346,14 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
         audio=AudioConfig(
             num_classes=a.audio_classes, head=head,
             padding=a.audio_padding, step_sec=a.audio_step, quant=quant,
-            # turbo additionally shares the conv feature extractor across
-            # the 8x-overlapped windows (documented approximation)
-            shared_extractor=a.serving_profile == "turbo",
+            # every quantized preset shares the conv feature extractor
+            # across the 8x-overlapped windows (round-4 default, VERDICT r3
+            # Next #4): the only approximation is per-clip instead of
+            # per-window normalization, measured at ZERO argmax flips even
+            # on adversarially non-stationary audio (PARITY.md
+            # shared-extractor study); --exact_audio restores the
+            # reference's per-window extraction
+            shared_extractor=quant == "int8" and not a.exact_audio,
         ),
         fusion=FusionConfig(
             use_published_weights=not a.no_published_weights,

@@ -147,10 +147,21 @@ def vad_speech_probs(
       series over a ±0.5 s context — speech pulses at 3-5 Hz with a ~50%
       duty cycle, giving a large IQR, while steady noise/chords give ~0
       and sparse drum hits leave the quartiles on the sustained floor.
+      Round-4: the energy series is the HARMONIC component only (HPSS-lite
+      median masking, same idea as pipeline/separate.py, on the VAD's own
+      spectrogram frames) — drum hits are frequency-smooth verticals that
+      the percussive mask absorbs, so percussion no longer feeds the
+      syllabic cue (the round-3 music failure mode, PARITY.md);
+    - **chroma-stability penalty** (round-4): per-frame 12-bin pitch-class
+      profile, cosine-matched against its ±1 s mean. Sustained chords and
+      held notes keep one chroma shape for seconds; speech harmonics ride
+      a drifting f0 whose pitch classes rotate. Frames that are strongly
+      harmonic AND chroma-stable are accompaniment, and their harmonicity
+      credit is withdrawn.
 
     The additive form (vs the round-2 product of gates) keeps recall when
-    one cue is missing; music needs BOTH modulation and pitch movement to
-    score, which the benchmark shows it doesn't."""
+    one cue is missing; music needs modulation, pitch movement, AND
+    chroma motion to score, which the benchmark shows it doesn't."""
     n = len(wav) // window
     if n == 0:
         return np.zeros(0, np.float32)
@@ -164,6 +175,26 @@ def vad_speech_probs(
     log_e = 10 * np.log10(total)
     floor = np.percentile(log_e, 10)
     snr = np.clip((log_e - floor) / 20.0, 0.0, 1.0)
+
+    # HPSS-lite split of the spectrogram (spec is [time, freq], so the
+    # harmonic estimate medians along axis 0): harmonic-component energy
+    # drives the syllabic-modulation cue, so drum hits (freq-smooth
+    # verticals) can't fake speech pulsing
+    from scipy.ndimage import median_filter
+
+    mag = np.sqrt(spec)
+    hh = median_filter(mag, size=(17, 1), mode="reflect") ** 2
+    pp = median_filter(mag, size=(1, 17), mode="reflect") ** 2
+    hmask = hh / (hh + pp + 1e-12)
+    log_he = 10 * np.log10((spec * hmask).sum(1) + 1e-12)
+
+    # 12-bin chroma (100-2000 Hz) for the sustained-tonality penalty
+    fsel = (freqs >= 100.0) & (freqs <= 2000.0)
+    pc = (np.round(12.0 * np.log2(freqs[fsel] / 440.0)) % 12).astype(int)
+    onehot = np.zeros((pc.size, 12))
+    onehot[np.arange(pc.size), pc] = 1.0
+    chroma = spec[:, fsel] @ onehot
+    chroma /= np.linalg.norm(chroma, axis=1, keepdims=True) + 1e-12
 
     # harmonicity + pitch lag via FFT autocorrelation (unwindowed frames)
     fft2 = np.abs(np.fft.rfft(frames, n=2 * window, axis=1)) ** 2
@@ -188,7 +219,7 @@ def vad_speech_probs(
 
     def _ctx_features(i: int) -> None:
         lo, hi = max(0, i - ctx), min(n, i + ctx + 1)
-        e = log_e[lo:hi]
+        e = log_he[lo:hi]
         mod[i] = np.percentile(e, 75) - np.percentile(e, 25)
         s = semis[lo:hi][voiced[lo:hi]]
         if s.size >= 3:
@@ -197,7 +228,7 @@ def vad_speech_probs(
     if n >= width:
         from numpy.lib.stride_tricks import sliding_window_view
 
-        ew = sliding_window_view(log_e, width)          # [n-width+1, width]
+        ew = sliding_window_view(log_he, width)         # [n-width+1, width]
         q25, q75 = np.percentile(ew, (25, 75), axis=1)
         mod[ctx:n - ctx] = q75 - q25
         sw = sliding_window_view(semis, width)
@@ -215,12 +246,23 @@ def vad_speech_probs(
     mod = np.clip(mod / 6.0, 0.0, 1.0)        # 6 dB IQR = full evidence
     f0var = np.clip(f0var / 1.0, 0.0, 1.0)    # 1 semitone std = full
 
+    # sustained-tonality penalty: chroma cosine-stability over ±1 s,
+    # active only on confidently-harmonic frames (chords/held notes);
+    # 0.90 -> no penalty, 0.98+ -> full penalty
+    from scipy.ndimage import uniform_filter1d
+
+    cmean = uniform_filter1d(chroma, size=65, axis=0, mode="nearest")
+    stab = (chroma * cmean).sum(1) / (
+        np.linalg.norm(cmean, axis=1) + 1e-12)
+    tonal = np.clip((stab - 0.90) / 0.08, 0.0, 1.0) * harm
+
     score = (
         1.2 * harm
         + 1.5 * mod
         + 0.8 * f0var
         + 0.6 * snr
         + 0.4 * band
+        - 1.6 * tonal
         - 2.0
     )
     # light temporal smoothing so intra-syllable troughs don't chatter

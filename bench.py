@@ -1,22 +1,37 @@
-"""End-to-end throughput benchmark on real hardware.
+"""Device serving-ladder benchmark + end-to-end diagnostic on real hardware.
 
-Synthesizes a 25 fps clip + audio track, runs the FULL flagship pipeline
-(RetinaFace detect at the 640 bucket -> crop -> static ResNet50 + dynamic
-LSTM on every frame -> wav2vec2-large ExprModelV3 over 4 s / 0.5 s windows
--> fused compound decision) and reports processed video-seconds per
-wall-second — the reciprocal of the reference's real-time factor
-(/root/reference/src/run.py:306-308).
+Round-4 structure (VERDICT r3 Next #1): the DEVICE PROFILE LADDER — the
+only numbers comparable to BASELINE.json's 200 video-sec/sec north star —
+is measured and printed FIRST, with a hard internal budget so the run
+finishes (rc=0) under the driver timeout instead of dying with the ladder
+unprinted (round 3's failure mode). Diagnostics (host-link end-to-end
+runs, fused-kernel tripwires) come after, each gated on remaining budget.
+
+Ladder rows are the FULL serving programs measured in-loop (one jitted
+fori_loop dispatch per row — the only method this relay can't lie to for
+sub-5 ms programs, BENCH_NOTES round-4):
+  detect: wire -> normalize -> RetinaFace -> decode -> NMS
+          (ref workload: /root/reference/src/retina_face/retina_face_predictor.py:59-109)
+  visual: frame-gather -> crop -> ResNet50 (ref: get_face_images.py + VGGFace2 CNN)
+  audio:  wav-gather -> normalize -> wav2vec2 -> ExprModelV3
+          (ref: get_prob_audio_8_cl.py:78-101)
+Profiles compose measured rows at 25 fps with 2 audio windows/video-sec —
+the reference's serving shape (run.py:221-308).
 
 Weights are randomly initialized (the reference does not vendor its
-checkpoints); compute cost is identical to the published models. To force
-the full visual workload on synthetic frames (random weights detect no
-faces), the top-scoring detector candidate on every frame is treated as the
-face — the detector still runs its complete forward + decode + NMS.
+checkpoints); compute cost is identical to the published models.
 
-``vs_baseline`` compares against BASELINE.json's north-star target of
-200 video-sec/sec/chip (>= 8x real time).
+Output: ONE json line on stdout
+  {"metric": "device_parity_throughput", "value": N,
+   "unit": "video-sec/sec/chip", "vs_baseline": N}   # vs the 200 target
+printed as soon as the parity components are measured. Everything else
+(full ladder, e2e, stage splits) goes to stderr as labeled json lines.
 
-Output: ONE json line {"metric", "value", "unit", "vs_baseline"}.
+Env knobs: BENCH_BUDGET_S (default 2100), BENCH_E2E=0 skips the
+host-link e2e diagnostic, BENCH_TURBO_E2E=1 adds the turbo e2e run,
+BENCH_FUSED=1 adds the retired fused-Pallas tripwire rows (BENCH_NOTES
+round-8 verdict: XLA wins; kept out of the budget path by default),
+BENCH_SECONDS = e2e clip length.
 """
 
 from __future__ import annotations
@@ -28,18 +43,51 @@ import time
 
 import numpy as np
 
-# persistent XLA compilation cache: repeat bench runs skip the ~10 min of
-# detector/CNN/wav2vec2 compiles
+# persistent XLA compilation cache: repeat bench runs skip recompiles
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
 
-# fused Pallas chains need >16MiB scoped VMEM (core/tpuenv.py rationale);
-# must be in env before the first backend init
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from avcer_tpu.core.tpuenv import ensure_scoped_vmem  # noqa: E402
 
 ensure_scoped_vmem()
 
+# smoke mode exercises the int8 rows on CPU, where XLA has no fast int8
+# conv path (scalar emulation, ~50x) — use the byte-identical f32-accum
+# emulation (models/layers.py; never active on TPU, so real ladder runs
+# are unaffected)
+if os.environ.get("BENCH_SMOKE", "0") == "1":
+    os.environ.setdefault("AVCER_INT8_CPU_F32_ACCUM", "1")
+
 NORTH_STAR = 200.0  # video-sec/sec per chip (BASELINE.json)
+T_START = time.monotonic()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2100"))
+
+
+def left() -> float:
+    return BUDGET_S - (time.monotonic() - T_START)
+
+
+def err_json(obj: dict) -> None:
+    print(json.dumps(obj), file=sys.stderr, flush=True)
+
+
+_HEADLINE_PRINTED = False
+
+
+def headline(value: float, note: str = "") -> None:
+    global _HEADLINE_PRINTED
+    if _HEADLINE_PRINTED:
+        return
+    _HEADLINE_PRINTED = True
+    rec = {
+        "metric": "device_parity_throughput",
+        "value": round(value, 1),
+        "unit": "video-sec/sec/chip (inputs device-resident, parity profile)",
+        "vs_baseline": round(value / NORTH_STAR, 4),
+    }
+    if note:
+        rec["note"] = note
+    print(json.dumps(rec), flush=True)
 
 
 def make_clip(path_video: str, path_wav: str, seconds: float = 20.0,
@@ -119,38 +167,322 @@ def _preflight_device(timeout_s: float = 240.0) -> None:
             timeout=timeout_s,
         )
     except subprocess.TimeoutExpired:
-        print(json.dumps({
-            "metric": "end_to_end_throughput", "value": 0.0,
-            "unit": "video-sec/sec/chip", "vs_baseline": 0.0,
-            "error": f"device backend init exceeded {timeout_s:.0f}s "
-                     "(TPU relay unreachable) — no measurement possible",
-        }))
-        sys.exit(1)
+        headline(0.0, f"device backend init exceeded {timeout_s:.0f}s "
+                      "(TPU relay unreachable) — no measurement possible")
+        sys.exit(0)
     if out.returncode != 0:
-        print(json.dumps({
-            "metric": "end_to_end_throughput", "value": 0.0,
-            "unit": "video-sec/sec/chip", "vs_baseline": 0.0,
-            "error": "device backend init failed: " + out.stderr[-400:],
-        }))
-        sys.exit(1)
+        headline(0.0, "device backend init failed: " + out.stderr[-300:])
+        sys.exit(0)
 
 
-def main() -> None:
-    import logging
+def time_looped(fn, x, iters: int) -> float:
+    """Per-call seconds: ONE dispatch of a jitted fori_loop running the
+    program ``iters`` times on device, with anti-LICM input perturbation
+    and an anti-DCE scalar reduction (experiments/exp_r4b_device.py)."""
+    import jax
+    import jax.numpy as jnp
 
-    logging.getLogger("avcer_tpu").setLevel(logging.ERROR)
+    def body(i, acc):
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            xi = x * (1.0 + i.astype(x.dtype) * jnp.asarray(1e-7, x.dtype))
+        else:
+            xi = x + (i % 2).astype(x.dtype)
+        y = fn(xi)
+        s = sum(l.astype(jnp.float32).sum() for l in jax.tree.leaves(y))
+        return acc + s * 1e-12
 
-    # AVCER_PLATFORM=cpu lets the bench logic be exercised without the TPU
-    # relay (numbers are then CPU numbers — for plumbing tests only)
-    plat = os.environ.get("AVCER_PLATFORM")
-    if plat:
-        import jax
+    @jax.jit
+    def run():
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
 
-        jax.config.update("jax_platforms", plat)
+    np.asarray(run())  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(run())
+    return (time.perf_counter() - t0) / iters
 
-    _preflight_device()
 
-    from avcer_tpu.core.config import PipelineConfig, DetectorConfig
+def measure_ladder() -> dict:
+    """Measure the serving ladder rows in priority order, each guarded by
+    the remaining budget; emit the stdout headline the moment the parity
+    profile is known. Returns the measured rows (ms per frame/window)."""
+    import jax
+    import jax.numpy as jnp
+
+    from avcer_tpu.core.checkpoint import init_variables
+    from avcer_tpu.core.config import AudioConfig, DetectorConfig
+    from avcer_tpu.models.audio_heads import ExprModel
+    from avcer_tpu.models.emotion_resnet import EmotionResNet50
+    from avcer_tpu.models.retinaface import RetinaFace
+    from avcer_tpu.models.temporal_lstm import TemporalLSTM
+    from avcer_tpu.models.wav2vec2 import Wav2Vec2Config
+    from avcer_tpu.pipeline.audio_stage import AudioStage
+    from avcer_tpu.pipeline.detect import DetectStage
+    from avcer_tpu.pipeline.visual import VisualStage
+
+    rng = np.random.default_rng(0)
+    # BENCH_SMOKE=1: tiny shapes/iters so the bench *plumbing* is testable
+    # on CPU (tests/test_bench_smoke.py); numbers are then meaningless
+    smoke = os.environ.get("BENCH_SMOKE", "0") == "1"
+    B = 4 if smoke else 32
+    h0, w0 = (96, 160) if smoke else (360, 640)
+    b640, b448 = (160, 112) if smoke else (640, 448)
+    cnn_b = 8 if smoke else 256
+    it = (lambda n: 2) if smoke else (lambda n: n)
+    frames = rng.integers(0, 255, (B, h0, w0, 3), np.uint8)
+    ms: dict[str, float] = {}
+    fused = os.environ.get("BENCH_FUSED", "0") == "1"
+
+    r50_vars = init_variables(
+        RetinaFace(backbone="resnet50", dtype=jnp.bfloat16),
+        (jnp.zeros((1, 64, 64, 3), jnp.float32),))
+    mnet_vars = None  # lazy — only if the mnet rows still fit the budget
+
+    def detect_row(tag, backbone, bucket, quant, iters, extra=None,
+                   min_left=240.0, bs=None):
+        nonlocal mnet_vars
+        bs = bs or B
+        if left() < min_left:
+            err_json({"skip": tag, "reason": "budget", "left_s": round(left())})
+            return
+        try:
+            if backbone == "mobilenet0.25" and mnet_vars is None:
+                mnet_vars = init_variables(
+                    RetinaFace(backbone="mobilenet0.25", dtype=jnp.bfloat16),
+                    (jnp.zeros((1, 64, 64, 3), jnp.float32),))
+            stage = DetectStage(
+                DetectorConfig(long_side=bucket, batch_size=bs,
+                               backbone=backbone, quant=quant,
+                               **(extra or {})),
+                r50_vars if backbone == "resnet50" else mnet_vars,
+            )
+            if quant == "int8":
+                stage.calibrate(frames[: max(2, B // 4)])
+            fr = frames if bs <= B else np.concatenate([frames] * (bs // B))
+            wire_np, _s = stage.prepare_wire(fr)
+            wire = jnp.asarray(wire_np)
+            jax.block_until_ready(wire)
+            sec = time_looped(
+                lambda w, s=stage: s._forward_impl(s.variables, w),
+                wire, it(iters))
+            ms[tag] = sec / bs * 1e3
+            err_json({"row": tag, "ms_per_frame": round(ms[tag], 4)})
+        except Exception as e:  # one failed row must not kill the ladder
+            err_json({"row": tag, "error": repr(e)[:250]})
+
+    # --- priority 1: parity components (headline depends on these) -------
+    detect_row("r50_640_bf16", "resnet50", b640, "none", 150,
+               min_left=float("-inf"))
+
+    sv = init_variables(EmotionResNet50(num_classes=7, dtype=jnp.bfloat16),
+                        (jnp.zeros((1, 224, 224, 3), jnp.float32),))
+    lv = init_variables(TemporalLSTM(num_classes=7, dtype=jnp.bfloat16),
+                        (jnp.zeros((1, 10, 512), jnp.float32),))
+    frames_dev = jnp.asarray(frames)
+    jax.block_until_ready(frames_dev)
+    idx_b = jnp.asarray((np.arange(cnn_b) % B).astype(np.int32))
+    boxes_b = jnp.asarray(np.tile(np.array(
+        [[w0 // 4, h0 // 4, 3 * w0 // 4, 3 * h0 // 4]], np.int32),
+        (cnn_b, 1)))
+
+    def cnn_row(tag, quant, min_left=240.0):
+        if left() < min_left:
+            err_json({"skip": tag, "reason": "budget", "left_s": round(left())})
+            return
+        try:
+            vs = VisualStage(sv, lv, dtype=jnp.bfloat16, batch_size=cnn_b,
+                             quant=quant)
+            if quant == "int8":
+                vs.calibrate(rng.integers(0, 255, (8, 224, 224, 3), np.uint8))
+            sec = time_looped(
+                lambda f, v=vs: v._static_from_frames_impl(
+                    v.static_variables, f, idx_b, boxes_b),
+                frames_dev, it(30))
+            ms[tag] = sec / cnn_b * 1e3
+            err_json({"row": tag, "ms_per_frame": round(ms[tag], 4)})
+        except Exception as e:
+            err_json({"row": tag, "error": repr(e)[:250]})
+
+    cnn_row("cnn_bf16", "none", min_left=float("-inf"))
+
+    # smoke: a tiny wav2vec2 keeps the CPU plumbing test fast; the serving
+    # ladder always measures the flagship 12-layer large config
+    w2v2_cfg = (Wav2Vec2Config(hidden_size=64, num_layers=2, num_heads=4,
+                               intermediate_size=128, conv_dim=(16,) * 7)
+                if smoke else Wav2Vec2Config())
+    av = init_variables(
+        ExprModel(variant="v3", num_classes=8,
+                  wav2vec2_config=w2v2_cfg, dtype=jnp.bfloat16),
+        (jnp.zeros((1, 64000), jnp.float32),))
+    n_win = 4 if smoke else 16
+    wav = jnp.asarray(rng.standard_normal(200_001), jnp.float32)
+    wl = jnp.asarray(136_000, jnp.int32)
+    starts = jnp.asarray(np.arange(n_win, dtype=np.int32) * 8000)
+
+    def audio_row(tag, quant, min_left=240.0):
+        # slope timing, not in-loop: the fori_loop-wrapped full wav2vec2
+        # program is the ONE graph this relay's remote compiler has never
+        # survived (broken pipe in r6b AND r9 — exp_r9_results.jsonl); the
+        # raw window program is >5 ms/dispatch, where slope is valid
+        # (BENCH_NOTES round-4)
+        if left() < min_left:
+            err_json({"skip": tag, "reason": "budget", "left_s": round(left())})
+            return
+        try:
+            stage = AudioStage(
+                av, AudioConfig(num_classes=8, head="v3", quant=quant,
+                                batch_size=16),
+                w2v2_cfg, dtype=jnp.bfloat16)
+
+            def call():
+                return stage._jit_forward_from_wav(
+                    stage.variables, wav, wl, starts, padding="mean")
+
+            jax.block_until_ready(call())  # compile + warm
+            n1, n2 = (1, 3) if smoke else (4, 20)
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n1):
+                out = call()
+            jax.block_until_ready(out)
+            ta = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(n2):
+                out = call()
+            jax.block_until_ready(out)
+            tb = time.perf_counter() - t0
+            ms[tag] = (tb - ta) / (n2 - n1) / n_win * 1e3
+            err_json({"row": tag, "ms_per_window": round(ms[tag], 4)})
+        except Exception as e:
+            err_json({"row": tag, "error": repr(e)[:250]})
+
+    audio_row("audio_bf16", "none", min_left=float("-inf"))
+
+    fps = 25.0
+
+    def vss(det, stride=1, cnn="cnn_bf16", audio="audio_bf16"):
+        if det not in ms or cnn not in ms or audio not in ms:
+            return None
+        per_sec = ((ms[det] / stride + ms[cnn]) / 1e3 * fps
+                   + ms[audio] / 1e3 * 2)
+        return round(1.0 / per_sec, 1)
+
+    parity = vss("r50_640_bf16")
+    if parity is not None:
+        headline(parity)
+    else:
+        headline(0.0, "parity components failed — see stderr rows")
+
+    # --- priority 2: int8 profiles (the parity-quality >=100 road) -------
+    detect_row("r50_640_int8", "resnet50", b640, "int8", 150)
+    cnn_row("cnn_int8", "int8")
+    audio_row("audio_int8", "int8")
+    detect_row("r50_448_int8", "resnet50", b448, "int8", 300)
+    # --- priority 3: balanced + fast/turbo rows ---------------------------
+    detect_row("r50_448_bf16", "resnet50", b448, "none", 300)
+    detect_row("mnet_640_int8", "mobilenet0.25", b640, "int8", 300)
+    detect_row("mnet_448_int8", "mobilenet0.25", b448, "int8", 600)
+    # turbo serves detector batch 64: the small mnet@448 program underfills
+    # the chip at b32 (0.085 -> 0.059 ms/frame measured, exp_r9)
+    detect_row("mnet_448_int8_b64", "mobilenet0.25", b448, "int8", 300,
+               bs=2 * B)
+
+    # turbo audio: conv features once per clip + int8 head per window,
+    # amortized over a 60 s wav (113 windows)
+    if left() > 240:
+        try:
+            aq = AudioStage(
+                av, AudioConfig(num_classes=8, head="v3", quant="int8",
+                                shared_extractor=True, batch_size=16),
+                w2v2_cfg, dtype=jnp.bfloat16)
+            # slope timing throughout (see audio_row: the big wav2vec2
+            # graphs inside fori_loop kill the relay's remote compiler);
+            # the head is timed at 64 windows/dispatch so the program is
+            # >5 ms where slope is valid
+            clip_s = 160_000 if smoke else 960_000
+            wav60 = jnp.asarray(
+                rng.standard_normal(clip_s + 64_001).astype(np.float32))
+            wl60 = jnp.asarray(clip_s, jnp.int32)
+            n_win60 = (clip_s - 64_000) // 8_000 + 1
+            head_w = 8 if smoke else 64
+            starts_h = jnp.asarray(
+                np.arange(head_w, dtype=np.int32) * 8000)
+
+            def slope(call, n1, n2):
+                jax.block_until_ready(call())
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(n1):
+                    out = call()
+                jax.block_until_ready(out)
+                ta = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                for _ in range(n2):
+                    out = call()
+                jax.block_until_ready(out)
+                return ((time.perf_counter() - t0) - ta) / (n2 - n1)
+
+            sec_shared = slope(
+                lambda: aq._jit_shared_features(aq.variables, wav60, wl60),
+                *((1, 3) if smoke else (3, 12)))
+            feats60 = aq._jit_shared_features(aq.variables, wav60, wl60)
+            jax.block_until_ready(feats60)
+            sec_head = slope(
+                lambda: aq._jit_from_features(aq.variables, feats60,
+                                              starts_h),
+                *((1, 3) if smoke else (4, 20)))
+            ms["audio_turbo"] = (sec_shared / n_win60
+                                 + sec_head / head_w) * 1e3
+            err_json({"row": "audio_turbo",
+                      "ms_per_window": round(ms["audio_turbo"], 4)})
+        except Exception as e:
+            err_json({"row": "audio_turbo", "error": repr(e)[:250]})
+    else:
+        err_json({"skip": "audio_turbo", "reason": "budget"})
+
+    # --- tripwire only: retired fused-Pallas rows (BENCH_NOTES round-8:
+    # XLA wins; re-measure occasionally with BENCH_FUSED=1, never on the
+    # default budget path) ------------------------------------------------
+    if fused:
+        detect_row("r50_640_fusede", "resnet50", b640, "none", 150,
+                   extra={"fused_layer1": True, "fused_tails": True,
+                          "fused_entries": True, "fused_ssh": True,
+                          "fused_fpn": True})
+        detect_row("r50_640_int8f", "resnet50", b640, "int8", 150,
+                   extra={"fused_layer1": True, "fused_tails": True,
+                          "fused_entries": True, "fused_ssh": True,
+                          "fused_fpn": True})
+
+    # every quantized preset serves the shared-extractor audio path
+    # (round-4 default, measured-zero drift — core/config.py); fall back
+    # to the exact per-window int8 cost if the turbo row was skipped
+    aud8 = "audio_turbo" if "audio_turbo" in ms else "audio_int8"
+    ladder = {
+        "parity_r50_640": parity,
+        "balanced_r50_448": vss("r50_448_bf16"),
+        "int8_r50_640": vss("r50_640_int8", 1, "cnn_int8", aud8),
+        "int8_r50_640_s2": vss("r50_640_int8", 2, "cnn_int8", aud8),
+        "int8_r50_448": vss("r50_448_int8", 1, "cnn_int8", aud8),
+        "int8_r50_448_s2": vss("r50_448_int8", 2, "cnn_int8", aud8),
+        "fast_mnet_640_int8": vss("mnet_640_int8", 1, "cnn_int8", aud8),
+        "turbo_mnet_448_int8_s2": vss(
+            "mnet_448_int8_b64"
+            if "mnet_448_int8_b64" in ms else "mnet_448_int8",
+            2, "cnn_int8", "audio_turbo"),
+    }
+    summary = {
+        "device_profiles_video_sec_per_sec": ladder,
+        "rows_ms": {k: round(v, 4) for k, v in ms.items()},
+        "elapsed_s": round(time.monotonic() - T_START, 1),
+    }
+    err_json(summary)
+    return summary
+
+
+def run_e2e(summary: dict) -> None:
+    """Host-link end-to-end diagnostic: the full pipeline on a synthetic
+    clip through this harness's tunneled PJRT link (ref run.py:306-308
+    real-time factor). Numbers are link-dominated — context only."""
+    from avcer_tpu.core.config import DetectorConfig, PipelineConfig
     from avcer_tpu.pipeline.builder import build_pipeline
 
     workdir = os.path.join("/tmp", "avcer_bench")
@@ -169,431 +501,83 @@ def main() -> None:
     )
     pipe = build_pipeline(cfg)
     pipe.detect = ForceTopFace(pipe.detect, 360, 640)
-
-    # warmup: compile all programs
-    clip = pipe.run(video, "")
-    # timed run
+    pipe.run(video, "")  # warmup: compile cache is warm from the ladder
     t0 = time.perf_counter()
     clip = pipe.run(video, "")
     wall = time.perf_counter() - t0
     video_sec = clip.total_frames / max(clip.fps, 1)
-    value = video_sec / wall
+    err_json({
+        "end_to_end_throughput": round(video_sec / wall, 3),
+        "unit": "video-sec/sec (host-link, parity profile)",
+        "detail_stage_seconds": {k: round(v, 3)
+                                 for k, v in clip.timings.items()},
+        "video_seconds": video_sec,
+    })
 
-    print(
-        json.dumps(
-            {
-                "metric": "end_to_end_throughput",
-                "value": round(value, 3),
-                "unit": "video-sec/sec/chip",
-                "vs_baseline": round(value / NORTH_STAR, 4),
-            }
+    if os.environ.get("BENCH_TURBO_E2E", "0") == "1" and left() > 300:
+        from avcer_tpu.core.config import (
+            AudioConfig, PipelineConfig as _PC, VisualConfig,
         )
-    )
-    # turbo-profile e2e diagnostic (stderr): same clip through the measured
-    # fastest serving preset — mnet@448 int8 stride-2, int8 CNN, int8 +
-    # shared-extractor audio. Shows how e2e scales when wire bytes (2x
-    # smaller letterbox) and device time drop; the stdout metric above
-    # stays the parity profile. Disable with BENCH_TURBO_E2E=0.
-    if os.environ.get("BENCH_TURBO_E2E", "1") == "1":
-        try:
-            from avcer_tpu.core.config import (
-                AudioConfig, PipelineConfig as _PC, VisualConfig,
-            )
 
-            cfg_t = _PC(
-                detector=DetectorConfig(
-                    long_side=448, batch_size=32, stride=2,
-                    backbone="mobilenet0.25", quant="int8",
-                ),
-                visual=VisualConfig(quant="int8"),
-                audio=AudioConfig(quant="int8", shared_extractor=True),
-                weights_dir=os.path.join(workdir, "no_weights"),
-                save_probs=False,
-                save_plot=False,
-            )
-            pipe_t = build_pipeline(cfg_t)
-            pipe_t.detect = ForceTopFace(pipe_t.detect, 360, 640)
-            pipe_t.run(video, "")  # warmup/compile
-            t0 = time.perf_counter()
-            clip_t = pipe_t.run(video, "")
-            wall_t = time.perf_counter() - t0
-            print(
-                json.dumps(
-                    {
-                        "end_to_end_turbo": round(
-                            clip_t.total_frames / max(clip_t.fps, 1) / wall_t, 3
-                        ),
-                        "turbo_stage_seconds": {
-                            k: round(v, 3) for k, v in clip_t.timings.items()
-                        },
-                    }
-                ),
-                file=sys.stderr,
-            )
-        except Exception as e:  # diagnostic only
-            print(json.dumps({"turbo_e2e_error": str(e)[:300]}), file=sys.stderr)
+        cfg_t = _PC(
+            detector=DetectorConfig(
+                long_side=448, batch_size=32, stride=2,
+                backbone="mobilenet0.25", quant="int8",
+            ),
+            visual=VisualConfig(quant="int8"),
+            audio=AudioConfig(quant="int8", shared_extractor=True),
+            weights_dir=os.path.join(workdir, "no_weights"),
+            save_probs=False,
+            save_plot=False,
+        )
+        pipe_t = build_pipeline(cfg_t)
+        pipe_t.detect = ForceTopFace(pipe_t.detect, 360, 640)
+        pipe_t.run(video, "")
+        t0 = time.perf_counter()
+        clip_t = pipe_t.run(video, "")
+        wall_t = time.perf_counter() - t0
+        err_json({
+            "end_to_end_turbo": round(
+                clip_t.total_frames / max(clip_t.fps, 1) / wall_t, 3),
+            "turbo_stage_seconds": {k: round(v, 3)
+                                    for k, v in clip_t.timings.items()},
+        })
 
-    print(
-        json.dumps({"detail_stage_seconds": {k: round(v, 3) for k, v in clip.timings.items()},
-                    "video_seconds": video_sec}),
-        file=sys.stderr,
-    )
 
-    # Secondary context metric: pure device throughput of the model stack
-    # with inputs already resident (what this pipeline does on a directly
-    # attached v5e, where PCIe h2d is ~10 GB/s instead of this dev harness's
-    # tunneled PJRT link).
-    try:
+def main() -> None:
+    import logging
+
+    logging.getLogger("avcer_tpu").setLevel(logging.ERROR)
+
+    # AVCER_PLATFORM=cpu lets the bench logic be exercised without the TPU
+    # relay (numbers are then CPU numbers — for plumbing tests only)
+    plat = os.environ.get("AVCER_PLATFORM")
+    if plat:
         import jax
-        import jax.numpy as jnp
 
-        def barrier(x):
-            np.asarray(jax.tree.leaves(x)[0])
+        jax.config.update("jax_platforms", plat)
 
-        def time_slope(fn, n1=3, n2=15):
-            """Per-dispatch seconds via the fetch-barrier slope (cancels the
-            constant fetch latency of the relay link). Only valid for
-            programs >= ~5 ms/dispatch (BENCH_NOTES round-4: relay jitter
-            dominates sub-ms slopes); smaller programs use time_inloop."""
-            barrier(fn())
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(n1):
-                out = fn()
-            barrier(out)
-            ta = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            for _ in range(n2):
-                out = fn()
-            barrier(out)
-            tb = time.perf_counter() - t0
-            return (tb - ta) / (n2 - n1)
+    _preflight_device()
 
-        def time_inloop(step, iters):
-            """Per-call seconds via ONE dispatch of a jitted fori_loop that
-            executes the program ``iters`` times on device (the trustworthy
-            method for sub-5 ms programs on this relay — BENCH_NOTES
-            round-4, experiments/exp_r4b_device.py). ``step(i)`` must
-            consume the loop index (anti-LICM); its outputs are reduced to
-            a scalar (anti-DCE)."""
+    summary = {}
+    try:
+        summary = measure_ladder()
+    except Exception as e:  # never leave without the stdout line
+        headline(0.0, "ladder failed: " + repr(e)[:250])
+        err_json({"ladder_error": repr(e)[:400]})
 
-            def body(i, acc):
-                y = step(i)
-                return acc + sum(
-                    l.astype(jnp.float32).sum() for l in jax.tree.leaves(y)
-                ) * jnp.float32(1e-12)
-
-            run = jax.jit(
-                lambda: jax.lax.fori_loop(
-                    0, iters, body, jnp.zeros((), jnp.float32)
-                )
-            )
-            np.asarray(run())  # compile + warm
-            t0 = time.perf_counter()
-            np.asarray(run())
-            return (time.perf_counter() - t0) / iters
-
-        inner = pipe.detect.inner
-        frames = np.random.default_rng(1).integers(
-            0, 255, (32, 360, 640, 3), np.uint8
-        )
-        packed, scale, frames_dev = inner.dispatch(frames)
-        jax.block_until_ready(packed)
-        # time the jitted detect program on device-resident wire data at the
-        # flagship bucket and the documented speed buckets (PARITY.md table)
-        from avcer_tpu.pipeline.detect import DetectStage
-        from avcer_tpu.core.config import DetectorConfig as _DC
-
-        from avcer_tpu.models.retinaface import RetinaFace as _RF
-
-        mnet_vars = _RF(backbone="mobilenet0.25", dtype=jnp.bfloat16).init(
-            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3), jnp.float32)
-        )
-        # measured serving-profile detector configs (quality tradeoffs in
-        # PARITY.md): r50@640 exact = reference-parity; int8 = calibrated
-        # quantized path; mobilenet0.25 = the reference's own fast backbone
-        detect_ms = {}
-        # inloop_iters None -> slope timing (program >= ~5 ms/dispatch);
-        # otherwise in-program fori_loop repetitions (sub-5 ms programs)
-        for name, backbone, bucket, quant, dvars, inloop_iters, extra in (
-            ("r50_640", "resnet50", 640, "none", inner.variables, None, {}),
-            # exact math, layer1 (+ layer2/3 identity tails) as fused Pallas
-            # programs (ops/pallas/fused_resnet_kernel.py)
-            ("r50_640_fused", "resnet50", 640, "none", inner.variables, None,
-             {"fused_layer1": True, "fused_tails": True}),
-            # + stride-2 entries fused ("s2ds"): layer2 as one program,
-            # + SSH+heads fused per FPN scale (fused_ssh_kernel)
-            ("r50_640_fusede", "resnet50", 640, "none", inner.variables, None,
-             {"fused_layer1": True, "fused_tails": True,
-              "fused_entries": True, "fused_ssh": True, "fused_fpn": True}),
-            ("r50_448", "resnet50", 448, "none", inner.variables, None, {}),
-            ("r50_448_fused", "resnet50", 448, "none", inner.variables, 150,
-             {"fused_layer1": True, "fused_tails": True}),
-            ("r50_448_fusede", "resnet50", 448, "none", inner.variables, 150,
-             {"fused_layer1": True, "fused_tails": True,
-              "fused_entries": True, "fused_ssh": True, "fused_fpn": True}),
-            ("r50_640_int8", "resnet50", 640, "int8", inner.variables, None,
-             {}),
-            ("r50_448_int8", "resnet50", 448, "int8", inner.variables, 150,
-             {}),
-            # int8 weights/activations INSIDE the fused Pallas chains
-            # (TVBottleneckFolded quant fold; same act_scales tree)
-            ("r50_640_int8f", "resnet50", 640, "int8", inner.variables, None,
-             {"fused_layer1": True, "fused_tails": True,
-              "fused_entries": True, "fused_ssh": True, "fused_fpn": True}),
-            ("r50_448_int8f", "resnet50", 448, "int8", inner.variables, 150,
-             {"fused_layer1": True, "fused_tails": True,
-              "fused_entries": True, "fused_ssh": True, "fused_fpn": True}),
-            ("mnet_640_int8", "mobilenet0.25", 640, "int8", mnet_vars, 200,
-             {}),
-            ("mnet_448_int8", "mobilenet0.25", 448, "int8", mnet_vars, 400,
-             {}),
-        ):
-            stage = (
-                inner
-                if (backbone, bucket, quant, extra) == (
-                    cfg.detector.backbone, cfg.detector.long_side,
-                    cfg.detector.quant, {},
-                )
-                else DetectStage(
-                    _DC(long_side=bucket, batch_size=32, backbone=backbone,
-                        quant=quant, **extra),
-                    dvars,
-                )
-            )
-            try:
-                wire_np, _s = stage.prepare_wire(frames)
-                wire = jnp.asarray(wire_np)
-                jax.block_until_ready(wire)
-                if inloop_iters:
-                    sec = time_inloop(
-                        lambda i, s=stage, w=wire: s._jit_forward(
-                            s.variables, w + (i % 2).astype(w.dtype)
-                        ),
-                        inloop_iters,
-                    )
-                else:
-                    sec = time_slope(
-                        lambda s=stage, w=wire: s._jit_forward(s.variables, w),
-                        n1=8, n2=40,
-                    )
-                detect_ms[name] = sec / 32 * 1e3
-            except Exception as e:  # one failed variant must not kill the rest
-                print(json.dumps({f"detect_{name}_error": str(e)[:200]}),
-                      file=sys.stderr)
-        per_frame_detect = detect_ms["r50_640"] / 1e3
-        # crop-CNN on device-resident frames at the configured batch size
-        # (256 = calibrated optimum) + sweep for reference
-        sweep = {}
-        for bs in (128, 256):
-            idx_b = jnp.asarray((np.arange(bs) % 32).astype(np.int32))
-            boxes_b = jnp.asarray(
-                np.tile(np.array([[160, 90, 480, 270]], np.int32), (bs, 1))
-            )
-            sec = time_slope(
-                lambda: pipe.visual._jit_static_from_frames(
-                    pipe.visual.static_variables, frames_dev, idx_b, boxes_b
-                ),
-                n1=5, n2=25,
-            )
-            sweep[bs] = round(sec / bs * 1e3, 3)
-        per_frame_cnn = sweep[256] / 1e3
-        print(json.dumps({"cnn_ms_per_frame_by_batch": sweep}), file=sys.stderr)
-        # int8 CNN (used by the int8/turbo profiles)
-        from avcer_tpu.pipeline.visual import VisualStage as _VS
-
-        idx_b = jnp.asarray((np.arange(256) % 32).astype(np.int32))
-        boxes_b = jnp.asarray(
-            np.tile(np.array([[160, 90, 480, 270]], np.int32), (256, 1))
-        )
-        per_frame_cnn_int8 = None
-        for entries in (False, True):  # XLA int8 vs int8 fused chains
-            try:
-                vq = _VS(
-                    pipe.visual.static_variables, pipe.visual.lstm_variables,
-                    dtype=jnp.bfloat16, batch_size=256, quant="int8",
-                    fused=entries, fused_entries=entries,
-                )
-                sec = time_slope(
-                    lambda: vq._jit_static_from_frames(
-                        vq.static_variables, frames_dev, idx_b, boxes_b
-                    ),
-                    n1=5, n2=25,
-                )
-                if per_frame_cnn_int8 is None or sec / 256 < per_frame_cnn_int8:
-                    per_frame_cnn_int8 = sec / 256
-            except Exception as e:
-                if per_frame_cnn_int8 is None:
-                    raise
-                print(json.dumps({"cnn_int8_fused_error": str(e)[:200]}),
-                      file=sys.stderr)
-        # exact-math fused-chain CNN (models/emotion_resnet.py fused);
-        # measure tails-only and +stride-2 entries, keep the faster
-        per_frame_cnn_fused = None
+    if os.environ.get("BENCH_E2E", "1") == "1" and left() > 420:
         try:
-            for entries in (False, True):
-                vf = _VS(
-                    pipe.visual.static_variables, pipe.visual.lstm_variables,
-                    dtype=jnp.bfloat16, batch_size=256, fused=True,
-                    fused_entries=entries,
-                )
-                sec = time_slope(
-                    lambda: vf._jit_static_from_frames(
-                        vf.static_variables, frames_dev, idx_b, boxes_b
-                    ),
-                    n1=5, n2=25,
-                )
-                if per_frame_cnn_fused is None or sec / 256 < per_frame_cnn_fused:
-                    per_frame_cnn_fused = sec / 256
-        except Exception as e:
-            print(json.dumps({"cnn_fused_error": str(e)[:200]}),
-                  file=sys.stderr)
-        # audio: one 4 s window per 0.5 s of video -> 2 windows per video-sec
-        wav_dev = jnp.asarray(np.random.default_rng(2).normal(size=200_001).astype(np.float32))
-        starts = jnp.asarray(np.arange(16, dtype=np.int32) * 8000)
-        wl = jnp.asarray(136_000, jnp.int32)
-        sec = time_slope(
-            lambda: pipe.audio._jit_forward_from_wav(
-                pipe.audio.variables, wav_dev, wl, starts, padding="mean"
-            ),
-            n1=4, n2=20,
-        )
-        per_window_audio = sec / 16
+            run_e2e(summary)
+        except Exception as e:  # diagnostic only
+            err_json({"e2e_error": repr(e)[:300]})
+    else:
+        err_json({"skip": "e2e", "left_s": round(left())})
 
-        # turbo audio path (AudioConfig int8 + shared_extractor, the preset
-        # the turbo profile actually serves): conv features ONCE per clip +
-        # int8 transformer head per window. Amortize the shared extractor
-        # over a 60 s wav (113 windows) so its one-per-clip cost lands where
-        # it lands in serving; programs stay >5 ms/dispatch (slope validity
-        # floor on this relay — BENCH_NOTES).
-        from avcer_tpu.core.config import AudioConfig as _AC
-        from avcer_tpu.pipeline.audio_stage import AudioStage as _AS
-
-        aq = _AS(pipe.audio.variables, _AC(quant="int8", shared_extractor=True))
-        # int8 exact per-window path (the int8/fast presets: quantized
-        # encoder, reference-exact per-window extraction + normalization)
-        sec = time_slope(
-            lambda: aq._jit_forward_from_wav(
-                aq.variables, wav_dev, wl, starts, padding="mean"
-            ),
-            n1=4, n2=20,
-        )
-        per_window_audio_int8 = sec / 16
-        wav60 = jnp.asarray(
-            np.random.default_rng(3).normal(size=960_000 + 64_001).astype(np.float32)
-        )
-        wl60 = jnp.asarray(960_000, jnp.int32)
-        n_win60 = (960_000 - 64_000) // 8_000 + 1  # full 4 s windows
-        sec_shared = time_slope(
-            lambda: aq._jit_shared_features(aq.variables, wav60, wl60),
-            n1=3, n2=12,
-        )
-        feats60 = aq._jit_shared_features(aq.variables, wav60, wl60)
-        jax.block_until_ready(feats60)
-        # head per 16-window dispatch is ~1-2 ms -> in-loop timing
-        sec_head = time_inloop(
-            lambda i, f=feats60: aq._jit_from_features(
-                aq.variables,
-                f * (1.0 + i.astype(f.dtype) * jnp.asarray(1e-7, f.dtype)),
-                starts,
-            ),
-            300,
-        )
-        per_window_audio_turbo = sec_shared / n_win60 + sec_head / 16
-        fps = 25.0
-
-        def vss(det_ms_frame: float, stride: int = 1, cnn: float | None = None,
-                audio: float | None = None) -> float:
-            """Modelled device video-sec/sec: detect every stride-th frame,
-            CNN every frame, 2 audio windows per video-sec."""
-            per_sec = (
-                (det_ms_frame / 1e3 / stride + (cnn or per_frame_cnn)) * fps
-                + (audio or per_window_audio) * 2
-            )
-            return round(1.0 / per_sec, 1)
-
-        # Documented serving profiles (quality tradeoffs in PARITY.md):
-        # parity = reference-exact per-frame r50 detection at the 640
-        # bucket; int8 = calibrated quantized convs (drift-gated in tests);
-        # mnet = the reference's own mobilenet0.25 backbone option; stride
-        # detects every Nth frame with interpolated boxes between
-        # (per-detection quality preserved); the 448 bucket trades recall
-        # below ~48 px native face size.
-        ci = per_frame_cnn_int8
-        ai = per_window_audio_int8
-        at = per_window_audio_turbo
-        def best_fused(base: str) -> float | None:
-            """Fastest measured exact-math fused detector row for a bucket
-            (tails-only vs +stride-2 entries — both bit-compatible exact
-            reformulations, so min() is the honest serving pick)."""
-            rows = [detect_ms[k] for k in (f"{base}_fused", f"{base}_fusede")
-                    if k in detect_ms]
-            return min(rows) if rows else None
-
-        def best_int8(base: str) -> float:
-            """Fastest int8 detector row (XLA QConv vs fused chains — same
-            quantization semantics, drift-gated equivalent)."""
-            rows = [detect_ms[k] for k in (f"{base}_int8", f"{base}_int8f")
-                    if k in detect_ms]
-            return min(rows)
-
-        profiles = {
-            "parity_r50_640": vss(detect_ms["r50_640"], 1),
-            **({
-                # exact math with the detector layer1 + layers 2-3 AND the
-                # emotion CNN's chains as fused Pallas programs —
-                # parity-quality (same checkpoint trees, same rounding points)
-                "parity_r50_640_fused": vss(
-                    best_fused("r50_640"), 1,
-                    per_frame_cnn_fused or per_frame_cnn,
-                ),
-            } if best_fused("r50_640") else {}),
-            # exact math + weights at the 448 letterbox bucket: quality cost
-            # is detector recall below ~48 px native faces only (PARITY.md
-            # bucket table); every model output else bit-matches parity
-            "balanced_r50_448": vss(detect_ms["r50_448"], 1),
-            **({
-                # balanced bucket, exact math, fused Pallas chains — zero
-                # quantization
-                "balanced_r50_448_fused": vss(
-                    best_fused("r50_448"), 1,
-                    per_frame_cnn_fused or per_frame_cnn,
-                ),
-            } if best_fused("r50_448") else {}),
-            # balanced bucket + calibrated int8 (both tradeoffs drift-gated)
-            "int8_r50_448": vss(best_int8("r50_448"), 1, ci, ai),
-            "int8_r50_640": vss(best_int8("r50_640"), 1, ci, ai),
-            "int8_r50_640_s2": vss(best_int8("r50_640"), 2, ci, ai),
-            "fast_mnet_640_int8": vss(detect_ms["mnet_640_int8"], 1, ci, ai),
-            "turbo_mnet_448_int8_s2": vss(detect_ms["mnet_448_int8"], 2, ci, at),
-        }
-        print(
-            json.dumps(
-                {
-                    "device_only_throughput": profiles["parity_r50_640"],
-                    "unit": "video-sec/sec/chip (inputs device-resident, parity profile)",
-                    "per_frame_detect_ms": {
-                        str(k): round(v, 3) for k, v in detect_ms.items()
-                    },
-                    "per_frame_cnn_ms": round(per_frame_cnn * 1e3, 3),
-                    "per_frame_cnn_int8_ms": round(per_frame_cnn_int8 * 1e3, 3),
-                    **({"per_frame_cnn_fused_ms": round(
-                        per_frame_cnn_fused * 1e3, 3)}
-                       if per_frame_cnn_fused else {}),
-                    "per_window_audio_ms": round(per_window_audio * 1e3, 3),
-                    "per_window_audio_int8_ms": round(
-                        per_window_audio_int8 * 1e3, 3
-                    ),
-                    "per_window_audio_turbo_ms": round(
-                        per_window_audio_turbo * 1e3, 3
-                    ),
-                    "device_profiles_video_sec_per_sec": profiles,
-                }
-            ),
-            file=sys.stderr,
-        )
-    except Exception as e:  # context metric only — never fail the bench
-        print(json.dumps({"device_only_metric_error": str(e)}), file=sys.stderr)
+    # last line = the ladder again, so a tail-parser lands on the evidence
+    if summary:
+        err_json(summary)
+    sys.exit(0)
 
 
 if __name__ == "__main__":

@@ -217,9 +217,11 @@ def build_pipeline(profile: str, det_r50, det_mnet, cnn_v, lstm_v, expr_v):
     cfg = PipelineConfig(
         detector=DetectorConfig(
             backbone=backbone,
-            long_side=448 if (turbo or profile in ("balanced", "int8_448"))
+            long_side=448
+            if (turbo or profile in ("balanced", "int8_448", "int8_448_s2"))
             else 640,
-            stride=2 if (turbo or profile == "int8_s2") else 1,
+            stride=2
+            if (turbo or profile in ("int8_s2", "int8_448_s2")) else 1,
             quant=quant,
             threshold=0.5,  # synthetic detectors: same calibration everywhere
             batch_size=16,
@@ -227,7 +229,12 @@ def build_pipeline(profile: str, det_r50, det_mnet, cnn_v, lstm_v, expr_v):
         visual=VisualConfig(quant=quant, batch_size=64),
         audio=AudioConfig(
             num_classes=8, head="v3", quant=quant,
-            shared_extractor=(profile == "turbo"), batch_size=8,
+            # round-4 preset semantics (core/config.py): every quantized
+            # preset shares the conv extractor; turbo_exact_audio stays the
+            # isolation control for the approximation
+            shared_extractor=(quant == "int8"
+                              and profile != "turbo_exact_audio"),
+            batch_size=8,
         ),
         fusion=FusionConfig(use_published_weights=True),
     )

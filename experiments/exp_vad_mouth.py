@@ -55,16 +55,40 @@ def voice(rng: np.random.Generator, sec: float, sr: int = SR) -> np.ndarray:
 
 
 def music(rng: np.random.Generator, sec: float, sr: int = SR) -> np.ndarray:
-    t = np.arange(int(sec * sr)) / sr
-    chord = sum(np.sin(2 * np.pi * f * t) for f in (130.8, 164.8, 196.0, 261.6))
-    drums = np.zeros_like(t)
+    """Accompaniment: chord PROGRESSION (root changes every ~2 s — round-4
+    upgrade; the round-3 single static chord was easier than real music),
+    a lead melody line (held notes, no vibrato), and drum hits."""
+    n = int(sec * sr)
+    t = np.arange(n) / sr
+    roots = (130.8, 146.8, 174.6, 196.0)  # C3 D3 F3 G3
+    chord = np.zeros(n)
+    melody = np.zeros(n)
+    pos = 0
+    while pos < n:
+        seg = min(n - pos, int(rng.uniform(1.6, 2.4) * sr))
+        root = float(rng.choice(roots))
+        ts = t[pos : pos + seg]
+        for ratio in (1.0, 1.25, 1.5, 2.0):  # major triad + octave
+            chord[pos : pos + seg] += np.sin(
+                2 * np.pi * root * ratio * ts + rng.uniform(0, 6))
+        pos += seg
+    pos = 0
+    while pos < n:  # melody: quarter-ish held notes from the scale
+        seg = min(n - pos, int(rng.uniform(0.3, 0.7) * sr))
+        f = float(rng.choice(roots)) * float(rng.choice([2.0, 2.5, 3.0]))
+        env = np.minimum(1.0, np.arange(seg) / (0.02 * sr))  # attack ramp
+        melody[pos : pos + seg] += env * np.sin(
+            2 * np.pi * f * t[pos : pos + seg] + rng.uniform(0, 6))
+        pos += seg
+    drums = np.zeros(n)
     click = int(0.03 * sr)
     for s in np.arange(0.2, sec, 0.45):
         i = int(s * sr)
-        m = min(click, len(drums) - i)
+        m = min(click, n - i)
         if m > 0:
             drums[i : i + m] += rng.normal(0, 1, m) * np.hanning(click)[:m]
-    return ((0.2 * chord + 0.25 * drums) / 2.0).astype(np.float32)
+    return ((0.13 * chord + 0.18 * melody + 0.25 * drums) / 2.0).astype(
+        np.float32)
 
 
 def build_clip(rng: np.random.Generator, kind: str, snr_db: float):

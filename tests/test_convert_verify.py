@@ -280,3 +280,74 @@ def test_run_calibration_persists_and_serving_adopts(tmp_path):
     for s, cur in zip(jax.tree.leaves(saved),
                       jax.tree.leaves(pipe2.detect.variables["act_scales"])):
         assert float(cur) >= float(s) - 1e-6
+
+
+@pytest.mark.slow
+def test_full_release_drill(tmp_path, capsys):
+    """Standing real-weights drill (VERDICT r3 Next #9): fabricate the
+    COMPLETE Google-Drive release layout (/root/reference/README.md:15) with
+    randomized tensors of the release shapes saved from the REAL reference
+    classes (not the twins) — 12-layer wav2vec2-large for the 8-class audio
+    file, full r50 RetinaFace, full ResNet50 + LSTM — then run ONE
+    ``convert_verify.main`` invocation with ``--calib_video`` and
+    ``--golden``, exactly the command to run the day real checkpoints
+    appear. The 7-class file keeps the real ExprModelV2 class at 4 encoder
+    layers (structure drill; the pipeline's golden run serves the 8-class
+    path)."""
+    import cv2
+    import numpy as np
+
+    from avcer_tpu.pipeline.media import write_wav
+
+    reference_loader.install_torchvision_stub()
+    d = tmp_path / "release"
+    d.mkdir()
+    torch.manual_seed(0)
+    ref_video, _ = reference_loader.load_reference_architectures()
+    torch.save(ref_video.ResNet50(num_classes=7, channels=3).state_dict(),
+               d / checkpoint.TORCH_FILES["emotion_resnet50"])
+    torch.save(ref_video.LSTMPyTorch().state_dict(),
+               d / checkpoint.TORCH_FILES["temporal_lstm"])
+    ref_rf, ref_cfg = reference_loader.load_reference_retinaface()
+    torch.save(
+        ref_rf.RetinaFace(cfg=ref_cfg.cfg_re50, phase="test").state_dict(),
+        d / checkpoint.TORCH_FILES["retinaface"])
+    m8 = reference_loader.load_reference_audio_models(8)
+    p8 = d / checkpoint.TORCH_FILES["expr_model_8cl"]
+    p8.parent.mkdir()
+    torch.save(
+        m8.ExprModelV3(twins.make_hf_wav2vec2(num_layers=12).config)
+        .state_dict(), p8)
+    m7 = reference_loader.load_reference_audio_models(7)
+    p7 = d / checkpoint.TORCH_FILES["expr_model_7cl"]
+    p7.parent.mkdir()
+    torch.save(
+        m7.ExprModelV2(twins.make_hf_wav2vec2(num_layers=4).config)
+        .state_dict(), p7)
+
+    # representative calibration clip (+ the wav sidecar this image needs)
+    video = str(tmp_path / "calib.avi")
+    rng = np.random.default_rng(0)
+    vw = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"), 25, (64, 64))
+    assert vw.isOpened()
+    for _ in range(8):
+        vw.write(rng.integers(0, 255, (64, 64, 3), np.uint8))
+    vw.release()
+    write_wav(str(tmp_path / "calib.wav"),
+              rng.normal(size=32_000).astype(np.float32) * 0.1, 16_000)
+
+    rc = convert_verify.main(
+        ["--weights_dir", str(d), "--calib_video", video, "--golden"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0, report
+    for fam in ("emotion_resnet50", "temporal_lstm", "retinaface",
+                "expr_model_8cl", "expr_model_7cl"):
+        rec = report[fam]
+        assert rec["status"] == "ok", (fam, rec)
+        assert rec["parity"]["status"] == "ok", (fam, rec["parity"])
+        assert rec["converted_scalars"] == rec["torch_scalars"] > 0
+        # the kit cached the conversion for later pipeline builds
+        assert checkpoint.load_converted(str(d), fam) is not None
+    assert report["calibration"]["status"] == "ok", report["calibration"]
+    assert report["golden"]["status"] == "ok", report["golden"]
+    assert any(a.startswith("static__") for a in report["golden"]["artifacts"])

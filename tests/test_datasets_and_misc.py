@@ -447,6 +447,50 @@ def test_hpss_vocals_separates_synthetic_mix():
     assert ratio_est > 5 * ratio_mix
 
 
+def test_hpss_separation_quality_bound():
+    """Regression gate on the measured separation-quality bound (VERDICT
+    r3 Next #8, experiments/exp_separation_quality.py — full numbers in
+    separation_quality.json / PARITY.md): at equal vocal/accompaniment
+    power the separator must suppress the accompaniment by >= 15 dB while
+    keeping vocal SI-SDR above -4 dB, and separating BEFORE the VAD must
+    lift speech-over-music F1 (the two round-3 weaknesses interact)."""
+    import importlib.util as _ilu
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "experiments", "exp_separation_quality.py")
+    spec = _ilu.spec_from_file_location("exp_sep", path)
+    exp = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(exp)
+    from avcer_tpu.pipeline.preprocess import spectral_vad
+    from avcer_tpu.pipeline.separate import hpss_vocals
+
+    vm = exp._load_vad_mouth()
+    rng = np.random.default_rng(7)
+    voc, acc, mix = exp.make_mix(vm, rng, 10.0, 0.0)
+    est = hpss_vocals(mix, 16_000)[: len(voc)]
+    assert exp.si_sdr(est, voc) > -4.0
+    a = acc.astype(np.float64)
+    proj_est = float(est.astype(np.float64) @ a) ** 2 / (a @ a)
+    proj_mix = float(mix.astype(np.float64) @ a) ** 2 / (a @ a)
+    suppression_db = -10 * np.log10((proj_est + 1e-12) / (proj_mix + 1e-12))
+    assert suppression_db > 15.0, suppression_db
+
+    rng = np.random.default_rng(9)
+    f1 = {}
+    wav, mask = vm.build_clip(rng, "music", 10.0)
+    for tag, sig in (("raw", wav), ("sep", hpss_vocals(wav, 16_000))):
+        pred = vm.segments_to_mask(
+            spectral_vad(np.asarray(sig, np.float32), 16_000), len(sig))
+        m = mask[: len(sig)]
+        tp = (pred & m).sum(); fp = (pred & ~m).sum(); fn = (~pred & m).sum()
+        prec = tp / max(tp + fp, 1); rec = tp / max(tp + fn, 1)
+        f1[tag] = 2 * prec * rec / max(prec + rec, 1e-9)
+    assert f1["sep"] >= f1["raw"] - 0.02, f1  # separation never hurts much
+    assert f1["sep"] > 0.8, f1
+
+
 def test_hpss_separator_file_contract(tmp_path):
     """separator(in_wav, out_wav) writes 16 kHz mono of identical duration
     and passes the reference's duration sanity check."""
@@ -526,7 +570,11 @@ def test_vad_agreement_known_boundaries():
 
     exp = _load_vad_mouth_experiment()
     rng = np.random.default_rng(3)
-    bars = {"silence": 0.92, "noise": 0.92, "music": 0.55}
+    # music bar raised 0.55 -> 0.80 (VERDICT r3 Next #6): the round-4
+    # HPSS-modulation + chroma-stability features close the accompaniment
+    # failure mode; study mean at 10 dB = 0.851 on the harder
+    # chord-progression+melody benchmark (vad_mouth_validation.json)
+    bars = {"silence": 0.92, "noise": 0.92, "music": 0.80}
     for kind, bar in bars.items():
         f1s = []
         for _ in range(2):

@@ -248,14 +248,24 @@ def test_serving_profile_presets():
     cfg, *_ = pipeline_config_from_args(["--serving_profile", "int8"])
     assert cfg.detector.quant == cfg.visual.quant == cfg.audio.quant == "int8"
     assert cfg.detector.long_side == 640 and cfg.detector.stride == 1
+    # round-4: every quantized preset serves the shared-extractor audio
+    # path (measured-zero drift, PARITY.md); --exact_audio opts out
+    assert cfg.audio.shared_extractor
+    cfg, *_ = pipeline_config_from_args(
+        ["--serving_profile", "int8", "--exact_audio"])
+    assert not cfg.audio.shared_extractor
     cfg, *_ = pipeline_config_from_args(["--serving_profile", "int8_s2"])
     assert cfg.detector.quant == cfg.visual.quant == cfg.audio.quant == "int8"
     assert (cfg.detector.backbone, cfg.detector.long_side) == ("resnet50", 640)
-    assert cfg.detector.stride == 2 and not cfg.audio.shared_extractor
+    assert cfg.detector.stride == 2 and cfg.audio.shared_extractor
     cfg, *_ = pipeline_config_from_args(["--serving_profile", "int8_448"])
     assert cfg.detector.quant == cfg.visual.quant == cfg.audio.quant == "int8"
     assert (cfg.detector.backbone, cfg.detector.long_side) == ("resnet50", 448)
-    assert cfg.detector.stride == 1 and not cfg.audio.shared_extractor
+    assert cfg.detector.stride == 1 and cfg.audio.shared_extractor
+    cfg, *_ = pipeline_config_from_args(["--serving_profile", "int8_448_s2"])
+    assert cfg.detector.quant == "int8"
+    assert (cfg.detector.backbone, cfg.detector.long_side) == ("resnet50", 448)
+    assert cfg.detector.stride == 2 and cfg.audio.shared_extractor
     cfg, *_ = pipeline_config_from_args(["--serving_profile", "fast"])
     assert cfg.detector.backbone == "mobilenet0.25"
     assert cfg.detector.long_side == 640
