@@ -639,8 +639,20 @@ class Pipeline:
     def save_outputs(self, clip: ClipResult, path_save: str) -> None:
         import pandas as pd
 
+        with pd.option_context("mode.string_storage", "python"):
+            self._save_outputs_impl(clip, path_save, pd)
+
+    def _save_outputs_impl(self, clip: ClipResult, path_save: str, pd) -> None:
+        # python string storage + object-dtype column Indexes: building an
+        # arrow-backed string array from a worker thread segfaults inside
+        # pyarrow in this runtime (deterministic, run_many overlap>=2 —
+        # the A/B record in exp_r9_results.jsonl); the CSV text is
+        # byte-identical either way
+        def cols(names: list) -> "pd.Index":
+            return pd.Index(list(names), dtype=object)
+
         os.makedirs(path_save, exist_ok=True)
-        emo_video = list(registry.VIDEO_EMOTIONS)
+        emo_video = cols(registry.VIDEO_EMOTIONS)
         pd.DataFrame(clip.dyn_logits, columns=emo_video).to_csv(
             os.path.join(path_save, f"dynamic__{clip.name_video}.csv"), index=False
         )
@@ -652,7 +664,7 @@ class Pipeline:
         # (get_prob_audio_8_cl.py:94-101, 125-136); the 7-class front-end
         # writes under an audio_{padding}_{step} subdir
         # (get_prob_audio_7_cl.py:153)
-        emo_audio = list(
+        emo_audio = cols(
             registry.AUDIO_EMOTIONS_8
             if self.cfg.audio.num_classes == 8
             else registry.AUDIO_EMOTIONS_7
