@@ -406,21 +406,59 @@ def lip_area_from_crop(crop_bgr: np.ndarray) -> float:
 
     The reference measures the mediapipe FaceMesh inner-lip band area
     (run_open_mouth_features_extraction.py:22-73); mediapipe is not in this
-    image and no trained landmark model is available, so this proxy measures
-    the dark inter-lip cavity instead: within the canonical mouth region of
-    a face crop (x 0.2-0.8 w, y 0.55-0.95 h), the fraction of pixels darker
-    than (mean - std) of the region. An open mouth exposes the oral cavity
-    (large dark area); a closed mouth shows only the thin lip line. The
-    scalar is normalized (region fraction), scale-invariant like the
-    reference's normalized-coordinate areas, and consumed by the SAME
-    rolling-mean thresholding (``mouth_open_from_areas``)."""
+    image and no trained landmark model is available, so this proxy
+    measures the dark inter-lip cavity instead, within the canonical mouth
+    region of a face crop (x 0.2-0.8 w, y 0.55-0.95 h). Round-4 hardening
+    (driven by the adversarial-appearance study, PARITY.md):
+
+    1. **illumination flattening**: the grayscale region is divided by its
+       own large-kernel box blur before thresholding, so a lateral shadow
+       ramp (which pushed half the raw region under a global mean-std
+       threshold — flag agreement collapsed to 0.02) cancels out;
+    2. **centered-component area** instead of raw dark-pixel fraction: the
+       dark mask is split into connected components and only the component
+       whose centroid lies nearest the mouth center counts, weighted down
+       with distance. Beard stubble (scattered speckle) and moustache
+       bands (top edge of the region) no longer flood the measure the way
+       they flooded the raw fraction (mean agreement 0.64, min 0.03).
+
+    An open mouth exposes the oral cavity (one large centered dark blob);
+    a closed mouth shows only the thin lip line. The scalar is normalized
+    (region fraction), scale-invariant like the reference's
+    normalized-coordinate areas, and consumed by the SAME rolling-mean
+    thresholding (``mouth_open_from_areas``)."""
+    import cv2
+
     h, w = crop_bgr.shape[:2]
     if h < 8 or w < 8:
         return float("nan")
     region = crop_bgr[int(0.55 * h) : int(0.95 * h), int(0.2 * w) : int(0.8 * w)]
-    gray = region.astype(np.float64).mean(-1)
-    thresh = gray.mean() - gray.std()
-    return float((gray < thresh).mean())
+    gray = region.astype(np.float32).mean(-1)
+    rh, rw = gray.shape
+    # illumination flattening: divide by the local mean at ~half-region
+    # scale; a smooth shadow gradient divides out, the cavity (small
+    # relative to the kernel) survives
+    k = max(3, (max(rh, rw) // 2) | 1)
+    illum = cv2.blur(gray, (k, k))
+    flat = gray / np.maximum(illum, 1e-3)
+    thresh = flat.mean() - flat.std()
+    dark = (flat < thresh).astype(np.uint8)
+    if not dark.any():
+        return 0.0
+    n_comp, labels, stats, centroids = cv2.connectedComponentsWithStats(dark)
+    if n_comp <= 1:
+        return 0.0
+    # mouth center in region coordinates: x center, y at the lip line
+    # (0.76 of the crop -> (0.76-0.55)/0.40 of the region)
+    cx, cy = rw / 2.0, rh * 0.525
+    diag = float(np.hypot(rh, rw))
+    best = 0.0
+    for i in range(1, n_comp):
+        area = stats[i, cv2.CC_STAT_AREA] / float(rh * rw)
+        dist = float(np.hypot(centroids[i][0] - cx, centroids[i][1] - cy))
+        score = area * float(np.exp(-3.0 * dist / diag))
+        best = max(best, score)
+    return best
 
 
 def extract_surface_area(

@@ -201,11 +201,17 @@ def run_vad_study(out: dict) -> None:
 
 def render_face(
     rng: np.random.Generator, openness: float, size: int, skin, gain: float,
-    noise: float, blur: int,
+    noise: float, blur: int, beard: float = 0.0, lipstick: bool = False,
+    shadow: float = 0.0,
 ) -> tuple[np.ndarray, float]:
     """Face crop with a known inner-mouth area. openness in [0, 1]: 0 =
-    closed (thin lip line), 1 = fully open dark cavity. Returns (crop,
-    true normalized mouth area)."""
+    closed (thin lip line), 1 = fully open dark cavity. Round-4
+    adversarial appearance factors (VERDICT r3 Missing #4: the round-3
+    study only used clean faces): ``beard`` = dark stubble density on
+    chin/jaw + a moustache band directly above the lips; ``lipstick`` =
+    saturated dark-red lips; ``shadow`` = lateral illumination ramp
+    darkening one side of the face by that fraction. Returns (crop, true
+    normalized mouth area)."""
     import cv2
 
     img = np.full((size, size, 3), skin, np.uint8)
@@ -225,7 +231,36 @@ def render_face(
         half_h = max(1, int(size * 0.09 * openness))
         cv2.ellipse(img, (cx, cy), (int(half_w * 0.85), half_h), 0, 0, 360, (15, 12, 25), -1)
         true_area = np.pi * (half_w * 0.85) * half_h / (size * size)
+    if beard > 0:
+        dark = np.array([int(c * 0.3) for c in skin], np.float32)
+        # stubble: chin/jaw below the mouth + cheeks beside it
+        ys, xs = np.mgrid[0:size, 0:size]
+        jaw = (ys > cy + int(size * 0.06)) | (
+            (ys > int(0.62 * size)) & ((xs < cx - half_w - 2)
+                                       | (xs > cx + half_w + 2)))
+        speckle = rng.random((size, size)) < beard * 0.6
+        m = jaw & speckle
+        img[m] = dark.astype(np.uint8)
+        # moustache band directly above the upper lip — the adversarial
+        # case: dark pixels ADJACENT to the cavity region
+        mst = (ys >= cy - int(size * 0.09)) & (ys <= cy - int(size * 0.045)) \
+            & (xs > cx - half_w) & (xs < cx + half_w)
+        m2 = mst & (rng.random((size, size)) < beard)
+        img[m2] = dark.astype(np.uint8)
+    if lipstick:
+        # saturated dark red replaces the skin-toned lips (BGR)
+        lip_mask = np.zeros((size, size), np.uint8)
+        cv2.ellipse(lip_mask, (cx, cy),
+                    (half_w, max(2, int(size * 0.035))), 0, 0, 360, 1, -1)
+        if openness > 0:
+            cv2.ellipse(lip_mask, (cx, cy),
+                        (int(half_w * 0.85), max(1, int(size * 0.09 * openness))),
+                        0, 0, 360, 0, -1)  # keep the cavity dark, not red
+        img[lip_mask == 1] = (35, 25, 150)
     img = np.clip(img.astype(np.float32) * gain, 0, 255)
+    if shadow > 0:
+        ramp = (1.0 - shadow * np.linspace(0, 1, size))[None, :, None]
+        img = img * ramp
     img += rng.normal(0, noise, img.shape)
     img = np.clip(img, 0, 255).astype(np.uint8)
     if blur > 1:
@@ -259,9 +294,12 @@ def run_mouth_study(out: dict) -> None:
     proxy_all = np.asarray(proxy_all); true_all = np.asarray(true_all)
     corr = float(np.corrcoef(proxy_all, true_all)[0, 1])
 
-    # pipeline flag agreement: per-"video" series of open/closed phases
-    agreements = []
-    for v in range(8):
+    # pipeline flag agreement: per-"video" series of open/closed phases.
+    # Appearance factors are constant WITHIN a video (a beard doesn't
+    # flicker frame to frame) — the interesting question is whether the
+    # per-video adaptive threshold (rolling mean > global mean of the
+    # same series) absorbs a constant dark offset.
+    def video_agreement(render_kwargs: dict) -> float:
         skin, size, gain = conds[rng.integers(0, len(conds))]
         n = 120
         states = np.zeros(n, float)
@@ -273,13 +311,16 @@ def run_mouth_study(out: dict) -> None:
         proxy_series, true_series = [], []
         for s in states:
             crop, ta = render_face(rng, s, size, skin, gain,
-                                   noise=rng.uniform(0, 5), blur=1)
+                                   noise=rng.uniform(0, 5), blur=1,
+                                   **render_kwargs)
             proxy_series.append(lip_area_from_crop(crop))
             true_series.append(ta)
         flags_proxy = mouth_open_from_areas(np.asarray(proxy_series))
         flags_true = mouth_open_from_areas(np.asarray(true_series))
         # skip the rolling-window warmup (both are zeros there by contract)
-        agreements.append(float((flags_proxy[30:] == flags_true[30:]).mean()))
+        return float((flags_proxy[30:] == flags_true[30:]).mean())
+
+    agreements = [video_agreement({}) for _ in range(8)]
     out["mouth"] = {
         "proxy_vs_true_area_pearson": corr,
         "n_correlation_samples": int(len(proxy_all)),
@@ -287,6 +328,27 @@ def run_mouth_study(out: dict) -> None:
         "flag_agreement_min": float(np.min(agreements)),
         "n_videos": len(agreements),
     }
+
+    # round-4 hard-appearance study (VERDICT r3 Missing #4): the factors
+    # a darkness-fraction proxy should fear — facial hair adjacent to the
+    # cavity region, dark saturated lips, lateral shadow — measured
+    # per-factor so failures are attributable
+    hard = {}
+    for factor, kwargs_list in (
+        ("beard", [{"beard": 0.4}, {"beard": 0.8}]),
+        ("lipstick", [{"lipstick": True}]),
+        ("shadow", [{"shadow": 0.35}, {"shadow": 0.6}]),
+        ("combined", [{"beard": 0.6, "lipstick": True, "shadow": 0.4}]),
+    ):
+        ag = []
+        for kw in kwargs_list:
+            ag.extend(video_agreement(kw) for _ in range(4))
+        hard[factor] = {
+            "flag_agreement_mean": float(np.mean(ag)),
+            "flag_agreement_min": float(np.min(ag)),
+            "n_videos": len(ag),
+        }
+    out["mouth"]["hard_appearance"] = hard
 
 
 def main() -> None:
