@@ -381,10 +381,11 @@ def measure_ladder() -> dict:
     detect_row("r50_448_bf16", "resnet50", b448, "none", 300)
     detect_row("mnet_640_int8", "mobilenet0.25", b640, "int8", 300)
     detect_row("mnet_448_int8", "mobilenet0.25", b448, "int8", 600)
-    # turbo serves detector batch 64: the small mnet@448 program underfills
-    # the chip at b32 (0.085 -> 0.059 ms/frame measured, exp_r9)
-    detect_row("mnet_448_int8_b64", "mobilenet0.25", b448, "int8", 300,
-               bs=2 * B)
+    # turbo serves detector batch 128: the small mnet@448 program
+    # underfills the chip at b32 (0.085 -> 0.059 at b64 -> 0.0319 at b128,
+    # the knee — exp_r9/exp_r10)
+    detect_row("mnet_448_int8_b128", "mobilenet0.25", b448, "int8", 150,
+               bs=4 * B)
 
     # turbo audio: conv features once per clip + int8 head per window,
     # amortized over a 60 s wav (113 windows)
@@ -465,8 +466,8 @@ def measure_ladder() -> dict:
         "int8_r50_448_s2": vss("r50_448_int8", 2, "cnn_int8", aud8),
         "fast_mnet_640_int8": vss("mnet_640_int8", 1, "cnn_int8", aud8),
         "turbo_mnet_448_int8_s2": vss(
-            "mnet_448_int8_b64"
-            if "mnet_448_int8_b64" in ms else "mnet_448_int8",
+            "mnet_448_int8_b128"
+            if "mnet_448_int8_b128" in ms else "mnet_448_int8",
             2, "cnn_int8", "audio_turbo"),
     }
     summary = {
