@@ -333,13 +333,15 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
     cfg = PipelineConfig(
         detector=DetectorConfig(
             long_side=long_side, stride=stride, backbone=backbone, quant=quant,
-            # the mnet@448 program underfills the chip at small batches:
-            # 0.085 ms/frame at b32 -> 0.059 at b64 -> 0.0319 at b128
-            # (knee; b256 regresses to 0.043) — measured exp_r9/r10. Turbo
-            # serves b128 (a 5 s dispatch window at 25 fps — throughput
-            # profile). r50@448 shows NO batch win (0.202 at b32 vs 0.209
-            # at b64), so the other presets keep the calibrated 32.
-            batch_size=128 if a.serving_profile == "turbo" else 32,
+            # the mnet programs underfill the chip at small batches
+            # (measured exp_r9/r10): @448 0.085 ms/frame at b32 -> 0.0319
+            # at b128 (knee; b256 regresses), @640 0.182 -> 0.0711 at b128
+            # (knee). The mobilenet presets serve b128 (a 5 s dispatch
+            # window at 25 fps — throughput profiles). r50 shows NO batch
+            # win (@448 0.202 at b32 vs 0.209 at b64; @640 saturated), so
+            # the r50 presets keep the calibrated 32.
+            batch_size=128
+            if a.serving_profile in ("fast", "turbo") else 32,
             fused_layer1=a.fused, fused_tails=a.fused, fused_entries=a.fused,
             fused_ssh=a.fused, fused_fpn=a.fused,
         ),

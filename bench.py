@@ -380,6 +380,10 @@ def measure_ladder() -> dict:
     # --- priority 3: balanced + fast/turbo rows ---------------------------
     detect_row("r50_448_bf16", "resnet50", b448, "none", 300)
     detect_row("mnet_640_int8", "mobilenet0.25", b640, "int8", 300)
+    # the fast preset serves b128 (batch-fill knee — exp_r10; b32 row
+    # kept above as the trend reference)
+    detect_row("mnet_640_int8_b128", "mobilenet0.25", b640, "int8", 100,
+               bs=4 * B)
     detect_row("mnet_448_int8", "mobilenet0.25", b448, "int8", 600)
     # turbo serves detector batch 128: the small mnet@448 program
     # underfills the chip at b32 (0.085 -> 0.059 at b64 -> 0.0319 at b128,
@@ -464,7 +468,10 @@ def measure_ladder() -> dict:
         "int8_r50_640_s2": vss("r50_640_int8", 2, "cnn_int8", aud8),
         "int8_r50_448": vss("r50_448_int8", 1, "cnn_int8", aud8),
         "int8_r50_448_s2": vss("r50_448_int8", 2, "cnn_int8", aud8),
-        "fast_mnet_640_int8": vss("mnet_640_int8", 1, "cnn_int8", aud8),
+        "fast_mnet_640_int8": vss(
+            "mnet_640_int8_b128"
+            if "mnet_640_int8_b128" in ms else "mnet_640_int8",
+            1, "cnn_int8", aud8),
         "turbo_mnet_448_int8_s2": vss(
             "mnet_448_int8_b128"
             if "mnet_448_int8_b128" in ms else "mnet_448_int8",
