@@ -22,6 +22,14 @@ Rows:
   6. composite profile ladder from the measured rows only
 
 Results append to experiments/exp_r9_results.jsonl.
+
+POST-MORTEM (do not re-run sections 5+ as written): the in-loop
+(fori_loop-wrapped) FULL 12-layer wav2vec2 graph is the one program the
+relay's remote compiler has never survived — it broke the pipe here
+(t=47 min) exactly as it killed the r6b session. exp_r9b_audio.py
+re-measured the audio rows with the slope method (valid: >5 ms/dispatch)
+and emitted the final ladder; bench.py uses slope for audio for the same
+reason. Detect/CNN sections 1-4 are fine to re-run.
 """
 
 from __future__ import annotations
