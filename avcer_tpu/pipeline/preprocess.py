@@ -165,6 +165,17 @@ def vad_speech_probs(
     n = len(wav) // window
     if n == 0:
         return np.zeros(0, np.float32)
+    # all context/filter spans below are specified in SECONDS and derived
+    # from the actual frame rate, so a non-default sr/window keeps the
+    # advertised time spans (at the 16 kHz / 512 defaults: fps 31.25,
+    # ctx 16 frames, HPSS time-median 17, chroma window 65 — the values
+    # the exp_vad_mouth benchmark weights were tuned on)
+    frames_per_sec = sr / window
+    ctx = max(1, int(round(0.5 * frames_per_sec)))       # ±0.5 s
+    tmed = max(3, int(round(0.5 * frames_per_sec)) | 1)  # ~0.5 s median
+    # HPSS frequency median ~530 Hz of bins (bin width = sr / window)
+    fmed = max(3, int(round(531.25 * window / sr)) | 1)
+    cwin = 2 * int(np.ceil(frames_per_sec)) + 1          # ±1 s chroma
     frames = wav[: n * window].reshape(n, window).astype(np.float64)
     win = np.hanning(window)
     spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
@@ -183,8 +194,8 @@ def vad_speech_probs(
     from scipy.ndimage import median_filter
 
     mag = np.sqrt(spec)
-    hh = median_filter(mag, size=(17, 1), mode="reflect") ** 2
-    pp = median_filter(mag, size=(1, 17), mode="reflect") ** 2
+    hh = median_filter(mag, size=(tmed, 1), mode="reflect") ** 2
+    pp = median_filter(mag, size=(1, fmed), mode="reflect") ** 2
     hmask = hh / (hh + pp + 1e-12)
     log_he = 10 * np.log10((spec * hmask).sum(1) + 1e-12)
 
@@ -206,11 +217,10 @@ def vad_speech_probs(
     harm = np.clip(pitch_band.max(1), 0.0, 1.0)
     lag = (pitch_band.argmax(1) + lag_lo).astype(np.float64)
 
-    # context features (±16 frames ≈ ±0.5 s). The interior (full windows)
+    # context features (±ctx frames ≈ ±0.5 s). The interior (full windows)
     # is vectorized with sliding windows — the per-frame python loop was
     # O(n*ctx) host work, tens of seconds on hour-long clips on a 1-core
     # host; only the 2*ctx boundary frames keep the direct form.
-    ctx = 16
     width = 2 * ctx + 1
     mod = np.zeros(n)
     f0var = np.zeros(n)
@@ -251,7 +261,7 @@ def vad_speech_probs(
     # 0.90 -> no penalty, 0.98+ -> full penalty
     from scipy.ndimage import uniform_filter1d
 
-    cmean = uniform_filter1d(chroma, size=65, axis=0, mode="nearest")
+    cmean = uniform_filter1d(chroma, size=cwin, axis=0, mode="nearest")
     stab = (chroma * cmean).sum(1) / (
         np.linalg.norm(cmean, axis=1) + 1e-12)
     tonal = np.clip((stab - 0.90) / 0.08, 0.0, 1.0) * harm
@@ -415,18 +425,26 @@ def lip_area_from_crop(crop_bgr: np.ndarray) -> float:
        own large-kernel box blur before thresholding, so a lateral shadow
        ramp (which pushed half the raw region under a global mean-std
        threshold — flag agreement collapsed to 0.02) cancels out;
-    2. **centered-component area** instead of raw dark-pixel fraction: the
-       dark mask is split into connected components and only the component
-       whose centroid lies nearest the mouth center counts, weighted down
-       with distance. Beard stubble (scattered speckle) and moustache
-       bands (top edge of the region) no longer flood the measure the way
-       they flooded the raw fraction (mean agreement 0.64, min 0.03).
+    2. **distance-weighted component score** instead of raw dark-pixel
+       fraction: the dark mask is split into connected components, each
+       scored area_fraction * exp(-3 * centroid_distance / region_diag),
+       and the MAX component score is returned — so a component only wins
+       if its area outweighs the exponential penalty for sitting off the
+       mouth center. Beard stubble (scattered speckle) and moustache bands
+       (top edge of the region) no longer flood the measure the way they
+       flooded the raw fraction (mean agreement 0.64, min 0.03); a large
+       off-center dark region can still outscore a tiny centered cavity,
+       which the adversarial-appearance study shows is the right tradeoff
+       (a genuinely open mouth is never a tiny blob).
 
     An open mouth exposes the oral cavity (one large centered dark blob);
-    a closed mouth shows only the thin lip line. The scalar is normalized
-    (region fraction), scale-invariant like the reference's
-    normalized-coordinate areas, and consumed by the SAME rolling-mean
-    thresholding (``mouth_open_from_areas``)."""
+    a closed mouth shows only the thin lip line. The scalar is a
+    distance-discounted area fraction in [0, 1] — scale-invariant like
+    the reference's normalized-coordinate areas (NOT a plain region
+    fraction: the exponential discount rescales it) — and is consumed by
+    the SAME rolling-mean thresholding (``mouth_open_from_areas``), which
+    only compares the series against its own mean, so the scale change is
+    immaterial."""
     import cv2
 
     h, w = crop_bgr.shape[:2]
