@@ -120,6 +120,15 @@ class VisualConfig:
     #: with ``fused``, fuse the stride-2 entries of layers 2-3 too
     #: (models/emotion_resnet.py fused_entries — "s2pre" kernel blocks).
     fused_entries: bool = False
+    #: run the static CNN only on every Nth present frame (plus EVERY
+    #: dynamic step frame, so the LSTM feature stream — and therefore the
+    #: whole dynamic output — stays bit-exact); static probs on skipped
+    #: frames hold the last computed row. 1 = reference-exact per-frame
+    #: CNN; 0 = align to the dynamic step cadence round(5*fps/25), the
+    #: reference's own legacy visual pipeline sampling rate
+    #: (src/video/functions/get_face_areas.py:40). Serving approximation —
+    #: drift numbers in PARITY.md (max preset).
+    cnn_stride: int = 1
 
 
 @dataclass(frozen=True)
@@ -286,9 +295,18 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
                    help="detect every Nth frame (default 1; turbo preset: "
                         "2); boxes interpolated between detections, CNN "
                         "still runs every frame")
+    p.add_argument("--cnn_stride", type=int, default=None,
+                   help="run the static CNN on every Nth present frame "
+                        "(plus every dynamic step frame — the LSTM stream "
+                        "stays exact); skipped frames hold the last "
+                        "computed static probs. 0 = align to the dynamic "
+                        "step cadence (the legacy reference visual "
+                        "pipeline's own sampling rate). Default 1 "
+                        "(reference-exact); the max preset sets 0.")
     p.add_argument("--serving_profile",
                    choices=["parity", "balanced", "int8", "int8_s2",
-                            "int8_448", "int8_448_s2", "fast", "turbo"],
+                            "int8_448", "int8_448_s2", "fast", "turbo",
+                            "max"],
                    default="parity",
                    help="measured speed/quality presets (BENCH_NOTES.md "
                         "round-4 table): parity = reference-exact r50@640 "
@@ -302,8 +320,17 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
                         "bucket, per-frame detection (0.992 AV agreement); "
                         "fast = int8 + the "
                         "reference's mobilenet0.25 backbone; turbo = fast "
-                        "+ 448 bucket + detect stride 2 + shared audio "
-                        "extractor. Explicit flags override the preset.")
+                        "+ 448 bucket + detect stride 2; max = turbo + "
+                        "static CNN at the dynamic step cadence "
+                        "(--cnn_stride 0; dynamic stream stays exact). "
+                        "EVERY quantized "
+                        "preset (int8*, fast, turbo) shares the audio conv "
+                        "feature extractor across the 8x-overlapped "
+                        "windows by default (per-clip instead of the "
+                        "reference's per-window normalization; measured "
+                        "zero argmax drift — PARITY.md); --exact_audio "
+                        "restores reference-exact per-window extraction. "
+                        "Explicit flags override the preset.")
     p.add_argument("--exact_audio", action="store_true",
                    help="keep the reference's per-window audio extraction "
                         "even on quantized presets (disables the "
@@ -319,13 +346,15 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
     head = a.audio_head or ("v3" if a.audio_classes == 8 else "v2")
     quant = "none" if a.serving_profile in ("parity", "balanced") else "int8"
     backbone = (
-        "mobilenet0.25" if a.serving_profile in ("fast", "turbo") else "resnet50"
+        "mobilenet0.25" if a.serving_profile in ("fast", "turbo", "max")
+        else "resnet50"
     )
     # None = flag not given -> preset decides (an EXPLICIT --long_side 640
     # with the turbo preset must stay 640, so the default is a sentinel)
-    small_bucket = a.serving_profile in ("turbo", "balanced", "int8_448",
-                                         "int8_448_s2")
-    strided = a.serving_profile in ("turbo", "int8_s2", "int8_448_s2")
+    small_bucket = a.serving_profile in ("turbo", "max", "balanced",
+                                         "int8_448", "int8_448_s2")
+    strided = a.serving_profile in ("turbo", "max", "int8_s2",
+                                    "int8_448_s2")
     long_side = a.long_side if a.long_side is not None else (
         448 if small_bucket else 640)
     stride = a.detect_stride if a.detect_stride is not None else (
@@ -341,11 +370,15 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
             # win (@448 0.202 at b32 vs 0.209 at b64; @640 saturated), so
             # the r50 presets keep the calibrated 32.
             batch_size=128
-            if a.serving_profile in ("fast", "turbo") else 32,
+            if a.serving_profile in ("fast", "turbo", "max") else 32,
             fused_layer1=a.fused, fused_tails=a.fused, fused_entries=a.fused,
             fused_ssh=a.fused, fused_fpn=a.fused,
         ),
-        visual=VisualConfig(quant=quant, fused=a.fused, fused_entries=a.fused),
+        visual=VisualConfig(
+            quant=quant, fused=a.fused, fused_entries=a.fused,
+            cnn_stride=a.cnn_stride if a.cnn_stride is not None else (
+                0 if a.serving_profile == "max" else 1),
+        ),
         calibrate=a.calibrate,
         audio=AudioConfig(
             num_classes=a.audio_classes, head=head,

@@ -212,7 +212,8 @@ class Pipeline:
 
     # ------------------------------------------------------------------
     def detect_track_device(
-        self, reader: media.VideoReader, crop_step: Optional[int] = None
+        self, reader: media.VideoReader, crop_step: Optional[int] = None,
+        cnn_step: Optional[int] = None,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, Optional[np.ndarray],
                np.ndarray]:
         """Fast path: frames stay ON DEVICE; detection results come back in
@@ -227,6 +228,12 @@ class Pipeline:
         present — exactly the frames build_temporal_plan marks as step
         frames), so the heatmap path gets its overlays without reverting the
         whole clip to host cropping. step_crops is None when crop_step is.
+
+        cnn_step: the clip's dynamic step cadence, needed when
+        VisualConfig.cnn_stride != 1 — the static CNN then runs only on
+        every cnn_stride-th present frame plus every step frame
+        (visual.cnn_compute_sel), with skipped frames holding the last
+        computed row across chunk boundaries (visual.subset_forward_fill).
 
         Rationale: through a tunneled PJRT the per-transfer latency is
         ~0.5-1 s regardless of size, so the reference-style
@@ -250,6 +257,14 @@ class Pipeline:
         chunk_cap = max(cfg.batch_size, 512)
         stride = cfg.stride
         step_crops_list: list[np.ndarray] = []
+        # cnn_stride serving state (VisualConfig.cnn_stride): 0 = align to
+        # the dynamic step cadence; the held rows carry across chunks
+        cs = self.cfg.visual.cnn_stride
+        if cs == 0:
+            cs = int(cnn_step or 1)
+        present_pos_base = 0  # clip-global position among present frames
+        carry_stat: Optional[np.ndarray] = None
+        carry_feat: Optional[np.ndarray] = None
 
         # pass 1 — per DETECTED frame: tracker update + target (tid 1) box in
         # native float coords, validated with the reference's int-cast clamp
@@ -296,6 +311,7 @@ class Pipeline:
 
         def flush_chunk() -> None:
             nonlocal pending, frames_in_pending, drained, det_boxes_nat
+            nonlocal present_pos_base, carry_stat, carry_feat
             if not pending:
                 return
             while drained < len(pending):
@@ -361,11 +377,35 @@ class Pipeline:
             tacc["track"] += time.perf_counter() - t0
             t0 = time.perf_counter()
             if present_idx.size:
-                stat, feats = self.visual.run_static_from_frames(
-                    frames_dev, present_idx, boxes_lb
-                )  # second fetch
+                if cs > 1 and cnn_step:
+                    from avcer_tpu.pipeline.visual import (
+                        cnn_compute_sel, subset_forward_fill,
+                    )
+
+                    pos = present_pos_base + np.arange(present_idx.size)
+                    gids = global_base + present_idx.astype(np.int64)
+                    sel = cnn_compute_sel(pos, gids, int(cnn_step), cs)
+                    nc = self.cfg.visual.num_classes
+                    if sel.any():
+                        stat_c, feats_c = self.visual.run_static_from_frames(
+                            frames_dev, present_idx[sel], boxes_lb[sel]
+                        )  # second fetch
+                    else:
+                        stat_c = np.zeros((0, nc), np.float32)
+                        feats_c = np.zeros((0, 512), np.float32)
+                    stat, carry_stat = subset_forward_fill(
+                        sel, stat_c, carry_stat
+                    )
+                    feats, carry_feat = subset_forward_fill(
+                        sel, feats_c, carry_feat
+                    )
+                else:
+                    stat, feats = self.visual.run_static_from_frames(
+                        frames_dev, present_idx, boxes_lb
+                    )  # second fetch
                 stat_list.append(stat)
                 feats_list.append(feats)
+            present_pos_base += present_idx.size
             tacc["cnn"] += time.perf_counter() - t0
             pending = []
             frames_in_pending = 0
@@ -502,7 +542,8 @@ class Pipeline:
         else:
             (present, stat_probs_p, feats_p, step_crops,
              face_boxes) = self.detect_track_device(
-                reader, crop_step=step if want_heatmaps else None
+                reader, crop_step=step if want_heatmaps else None,
+                cnn_step=step,
             )
         reader.release()
         total_frames = meta.total_frames or len(present)
@@ -512,7 +553,23 @@ class Pipeline:
 
         t0 = time.perf_counter()
         if stat_probs_p is None:
-            stat_probs_p, feats_p = self.visual.run_static(crops)
+            cs = self.cfg.visual.cnn_stride
+            if cs == 0:
+                cs = step
+            if cs > 1 and len(crops):
+                from avcer_tpu.pipeline.visual import (
+                    cnn_compute_sel, subset_forward_fill,
+                )
+
+                gids = np.flatnonzero(present)
+                sel = cnn_compute_sel(
+                    np.arange(gids.size), gids, step, cs
+                )
+                stat_c, feats_c = self.visual.run_static(crops[sel])
+                stat_probs_p, _ = subset_forward_fill(sel, stat_c, None)
+                feats_p, _ = subset_forward_fill(sel, feats_c, None)
+            else:
+                stat_probs_p, feats_p = self.visual.run_static(crops)
         plan = build_temporal_plan(present[:total_frames], step)
         dyn_logits_s = self.visual.run_dynamic(feats_p, plan)
         stat_probs, dyn_logits = self.visual.expand_to_frames(

@@ -419,3 +419,44 @@ class VisualStage:
 
 def dynamic_step_for_fps(fps: float) -> int:
     return registry.dynamic_step(fps)
+
+
+def cnn_compute_sel(
+    pos: np.ndarray, frame_ids: np.ndarray, step: int, cnn_stride: int
+) -> np.ndarray:
+    """Which present frames get a real static-CNN forward under
+    ``VisualConfig.cnn_stride`` serving: every ``cnn_stride``-th present
+    frame by POSITION in the clip's present-frame sequence (robust to
+    detection gaps — a sparse-presence clip still computes at the full
+    stride density) plus every dynamic step frame (``frame_id % step == 0``
+    — exactly the frames whose features feed the LSTM windows, so the
+    dynamic stream stays bit-exact; see build_temporal_plan).
+
+    ``pos``: [P] position of each present frame among the clip's present
+    frames (global across chunks); ``frame_ids``: [P] global frame
+    indices. Returns a [P] bool mask. Position 0 is always selected, so
+    forward-fill always has an in-clip source."""
+    return (pos % cnn_stride == 0) | (frame_ids % step == 0)
+
+
+def subset_forward_fill(
+    sel: np.ndarray, rows: np.ndarray, carry: np.ndarray | None
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """Expand ``rows`` computed on the ``sel`` subset back over the full
+    sequence by forward-fill (the held-static-probs semantic of
+    ``cnn_stride`` serving). ``carry`` is the final filled row of the
+    previous chunk (None before any row exists — only reachable while
+    ``sel`` has seen no True yet, which ``cnn_compute_sel`` guarantees
+    cannot happen past clip position 0). Returns (filled [P, D] rows,
+    new carry)."""
+    n = sel.shape[0]
+    if n == 0:
+        return rows[:0], carry
+    src = np.cumsum(sel) - 1
+    if rows.shape[0]:
+        out = rows[np.maximum(src, 0)].copy()
+        if src[0] < 0:
+            out[src < 0] = carry
+    else:
+        out = np.tile(np.asarray(carry)[None], (n, 1))
+    return out, out[-1].copy()

@@ -212,8 +212,8 @@ def build_pipeline(profile: str, det_r50, det_mnet, cnn_v, lstm_v, expr_v):
 
     quant = "none" if profile in ("parity", "balanced") else "int8"
     backbone = "mobilenet0.25" if profile in (
-        "fast", "turbo", "turbo_exact_audio") else "resnet50"
-    turbo = profile.startswith("turbo")
+        "fast", "turbo", "turbo_exact_audio", "max") else "resnet50"
+    turbo = profile.startswith("turbo") or profile == "max"
     cfg = PipelineConfig(
         detector=DetectorConfig(
             backbone=backbone,
@@ -226,7 +226,10 @@ def build_pipeline(profile: str, det_r50, det_mnet, cnn_v, lstm_v, expr_v):
             threshold=0.5,  # synthetic detectors: same calibration everywhere
             batch_size=16,
         ),
-        visual=VisualConfig(quant=quant, batch_size=64),
+        # max (round-5): turbo + static CNN at the dynamic step cadence
+        # (cnn_stride=0 -> every step frame; held rows between)
+        visual=VisualConfig(quant=quant, batch_size=64,
+                            cnn_stride=0 if profile == "max" else 1),
         audio=AudioConfig(
             num_classes=8, head="v3", quant=quant,
             # round-4 preset semantics (core/config.py): every quantized

@@ -48,8 +48,12 @@ def test_bench_smoke_headline_and_ladder():
     assert ladder["parity_r50_640"] and ladder["parity_r50_640"] > 0
     # every profile is present (smoke budget is large enough for all rows)
     for k in ("balanced_r50_448", "int8_r50_640", "int8_r50_640_s2",
-              "int8_r50_448", "fast_mnet_640_int8", "turbo_mnet_448_int8_s2"):
+              "int8_r50_448", "fast_mnet_640_int8", "turbo_mnet_448_int8_s2",
+              "max_mnet_448_int8_s2_cs"):
         assert ladder[k] and ladder[k] > 0, (k, ladder)
+    # the max row only differs from turbo by the CNN fraction: it must be
+    # strictly faster
+    assert ladder["max_mnet_448_int8_s2_cs"] > ladder["turbo_mnet_448_int8_s2"]
     assert "r50_640_bf16" in summary["rows_ms"]
 
 

@@ -283,6 +283,17 @@ def test_serving_profile_presets():
          "--detect_stride", "1"]
     )
     assert (cfg.detector.long_side, cfg.detector.stride) == (640, 1)
+    assert cfg.visual.cnn_stride == 1  # turbo keeps the per-frame CNN
+    # max = turbo + static CNN at the dynamic step cadence
+    cfg, *_ = pipeline_config_from_args(["--serving_profile", "max"])
+    assert cfg.detector.backbone == "mobilenet0.25"
+    assert (cfg.detector.long_side, cfg.detector.stride) == (448, 2)
+    assert cfg.detector.quant == cfg.visual.quant == cfg.audio.quant == "int8"
+    assert cfg.audio.shared_extractor and cfg.detector.batch_size == 128
+    assert cfg.visual.cnn_stride == 0  # 0 = resolve to dynamic_step(fps)
+    cfg, *_ = pipeline_config_from_args(
+        ["--serving_profile", "max", "--cnn_stride", "3"])
+    assert cfg.visual.cnn_stride == 3  # explicit flag overrides the preset
 
 
 @pytest.mark.slow
@@ -358,6 +369,73 @@ def test_end_to_end_synthetic_clip(tmp_path, rng, path_mode):
 
         step = dynamic_step(fps)
         assert all(int(f.split(".")[0]) % step == 0 for f in hm_files)
+
+
+@pytest.mark.slow
+def test_cnn_stride_end_to_end_equivalence(tmp_path, rng):
+    """Full tiny pipeline, parity vs cnn_stride serving on the SAME clip:
+    the dynamic stream is bit-exact (step-frame features computed exactly),
+    static rows at computed frames are bit-exact, and skipped frames hold
+    the previous computed row."""
+    import dataclasses
+
+    import cv2
+
+    from avcer_tpu.core.config import (AudioConfig, DetectorConfig,
+                                       PipelineConfig, VisualConfig)
+    from avcer_tpu.models.wav2vec2 import Wav2Vec2Config
+    from avcer_tpu.pipeline import media
+    from avcer_tpu.pipeline.builder import build_pipeline
+    from avcer_tpu.pipeline.visual import cnn_compute_sel
+
+    h = w = 96
+    n_frames, fps = 30, 25
+    video_path = str(tmp_path / "clip.avi")
+    vw = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"MJPG"), fps,
+                         (w, h))
+    assert vw.isOpened()
+    for i in range(n_frames):
+        vw.write(rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8))
+    vw.release()
+    wav = (rng.normal(size=int(1.5 * 16000)) * 0.1).astype(np.float32)
+    media.write_wav(str(tmp_path / "clip.wav"), wav, 16000)
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(batch_size=8, long_side=64),
+        visual=VisualConfig(batch_size=16),
+        audio=AudioConfig(batch_size=4),
+        weights_dir=str(tmp_path / "nonexistent_weights"),
+        save_plot=False,
+        save_probs=False,
+    )
+    tiny_w2v2 = Wav2Vec2Config(
+        hidden_size=64, num_layers=2, num_heads=4, intermediate_size=128,
+        conv_dim=(16,) * 7,
+    )
+    pipe = build_pipeline(cfg, wav2vec2_config=tiny_w2v2)
+    pipe.detect = StubDetect(h, w)
+    base = pipe.run(video_path, "")
+
+    cfg_cs = dataclasses.replace(
+        cfg, visual=dataclasses.replace(cfg.visual, cnn_stride=0)
+    )
+    pipe_cs = build_pipeline(cfg_cs, wav2vec2_config=tiny_w2v2)
+    pipe_cs.detect = StubDetect(h, w)
+    pipe_cs.visual.static_variables = pipe.visual.static_variables
+    pipe_cs.visual.lstm_variables = pipe.visual.lstm_variables
+    got = pipe_cs.run(video_path, "")
+
+    from avcer_tpu.core.registry import dynamic_step
+
+    step = dynamic_step(fps)
+    np.testing.assert_array_equal(got.dyn_logits, base.dyn_logits)
+    sel = cnn_compute_sel(np.arange(n_frames), np.arange(n_frames),
+                          step, step)
+    np.testing.assert_array_equal(
+        got.stat_probs[sel], base.stat_probs[sel]
+    )
+    held = np.flatnonzero(sel)[np.cumsum(sel) - 1]
+    np.testing.assert_array_equal(got.stat_probs, base.stat_probs[held])
 
 
 @pytest.mark.slow
@@ -515,6 +593,111 @@ def test_detect_stride_box_interpolation(tmp_path, rng, stride, monkeypatch):
         expect_x1 = 10 + (i if i <= last_det else last_det)
         assert boxes[i, 0] == expect_x1, (i, boxes[i], expect_x1)
         assert boxes[i, 1] == 20 and boxes[i, 3] == 60
+
+def test_cnn_stride_sel_and_fill(rng):
+    """cnn_compute_sel picks every stride-th present POSITION plus every
+    step frame; subset_forward_fill holds the last computed row, including
+    across chunk boundaries via the carry."""
+    from avcer_tpu.pipeline.visual import cnn_compute_sel, subset_forward_fill
+
+    # present frames at irregular global ids (detection gaps)
+    gids = np.array([0, 1, 2, 5, 6, 9, 10, 11, 14, 15, 20, 22, 25, 27, 31])
+    pos = np.arange(gids.size)
+    sel = cnn_compute_sel(pos, gids, step=5, cnn_stride=4)
+    # positions 0,4,8,12 OR gids divisible by 5 (0,5,10,15,20,25)
+    expect = (pos % 4 == 0) | (gids % 5 == 0)
+    np.testing.assert_array_equal(sel, expect)
+    assert sel[0]  # position 0 always computed
+
+    rows = rng.normal(size=(int(sel.sum()), 3)).astype(np.float32)
+    filled, carry = subset_forward_fill(sel, rows, None)
+    # forward-fill reference
+    ref = np.empty((gids.size, 3), np.float32)
+    j = -1
+    for i in range(gids.size):
+        if sel[i]:
+            j += 1
+        ref[i] = rows[j]
+    np.testing.assert_array_equal(filled, ref)
+    np.testing.assert_array_equal(carry, ref[-1])
+
+    # chunked fill with carry == single-shot fill
+    split = 7
+    f1, c1 = subset_forward_fill(sel[:split], rows[: int(sel[:split].sum())], None)
+    f2, c2 = subset_forward_fill(sel[split:], rows[int(sel[:split].sum()):], c1)
+    np.testing.assert_array_equal(np.concatenate([f1, f2]), ref)
+    np.testing.assert_array_equal(c2, ref[-1])
+
+    # a chunk with NO computed rows holds the carry throughout
+    f3, c3 = subset_forward_fill(
+        np.zeros(4, bool), np.zeros((0, 3), np.float32), carry
+    )
+    np.testing.assert_array_equal(f3, np.tile(carry[None], (4, 1)))
+    np.testing.assert_array_equal(c3, carry)
+
+
+def test_cnn_stride_device_path(tmp_path, rng):
+    """detect_track_device under cnn_stride: the CNN sees ONLY the selected
+    frames (stride positions + step frames), and the returned stat/feats
+    are the forward-filled expansion — step-frame rows exact, so the
+    dynamic-model inputs are unchanged."""
+    from avcer_tpu.core.config import (DetectorConfig, PipelineConfig,
+                                       VisualConfig)
+    from avcer_tpu.pipeline.runner import Pipeline
+    from avcer_tpu.pipeline.visual import cnn_compute_sel
+
+    n_frames, h, w = 20, 96, 128
+    step, cs = 5, 3
+
+    class FakeReader:
+        class meta:
+            width, height, fps, total_frames = w, h, 25, n_frames
+            path = "fake.avi"
+
+        def batches(self, batch_size):
+            for s in range(0, n_frames, batch_size):
+                n = min(batch_size, n_frames - s)
+                frames = np.zeros((batch_size, h, w, 3), np.uint8)
+                for j in range(batch_size):
+                    frames[j, :, :, :] = min(s + min(j, n - 1), 255)
+                yield frames, n
+
+    cfg = PipelineConfig(
+        detector=DetectorConfig(batch_size=8, long_side=0),
+        visual=VisualConfig(cnn_stride=cs),
+    )
+    pipe = Pipeline.__new__(Pipeline)
+    pipe.cfg = cfg
+    pipe.detect = StridedStubDetect(1)
+    recorded = {}
+
+    class FakeVisual:
+        def run_static_from_frames(self, frames_dev, idx, boxes):
+            recorded.setdefault("idx", []).append(np.array(idx))
+            p = len(idx)
+            # encode the frame id into the rows so the fill is checkable
+            stat = np.tile(np.array(idx, np.float32)[:, None], (1, 7))
+            feats = np.tile(np.array(idx, np.float32)[:, None], (1, 512))
+            return stat, feats
+
+    pipe.visual = FakeVisual()
+    present, stat, feats, _, _ = Pipeline.detect_track_device(
+        pipe, FakeReader(), cnn_step=step
+    )
+
+    assert present.all()
+    computed = np.concatenate(recorded["idx"])
+    sel = cnn_compute_sel(
+        np.arange(n_frames), np.arange(n_frames), step, cs
+    )
+    np.testing.assert_array_equal(computed, np.flatnonzero(sel))
+    # forward-fill: each row holds the last computed frame id
+    held = np.flatnonzero(sel)[np.cumsum(sel) - 1]
+    np.testing.assert_array_equal(stat[:, 0], held.astype(np.float32))
+    np.testing.assert_array_equal(feats[:, 0], held.astype(np.float32))
+    # every step frame is computed exactly (dynamic stream unchanged)
+    assert sel[::step].all()
+
 
 def test_calibrate_batch_sizes(tmp_path, rng):
     """One-shot calibration measures candidate batch sizes, applies the
