@@ -212,8 +212,9 @@ def build_pipeline(profile: str, det_r50, det_mnet, cnn_v, lstm_v, expr_v):
 
     quant = "none" if profile in ("parity", "balanced") else "int8"
     backbone = "mobilenet0.25" if profile in (
-        "fast", "turbo", "turbo_exact_audio", "max") else "resnet50"
-    turbo = profile.startswith("turbo") or profile == "max"
+        "fast", "turbo", "turbo_exact_audio", "max", "max_astep1",
+    ) else "resnet50"
+    turbo = (profile.startswith("turbo") or profile.startswith("max"))
     cfg = PipelineConfig(
         detector=DetectorConfig(
             backbone=backbone,
@@ -227,11 +228,17 @@ def build_pipeline(profile: str, det_r50, det_mnet, cnn_v, lstm_v, expr_v):
             batch_size=16,
         ),
         # max (round-5): turbo + static CNN at the dynamic step cadence
-        # (cnn_stride=0 -> every step frame; held rows between)
+        # (cnn_stride=0 -> every step frame; held rows between).
+        # max_astep1: additionally the documented --audio_step 1.0 variant
+        # (4 s windows, 1 s step — within the reference's own sweep space;
+        # audio_mad in compare() is then apples-to-oranges per window, but
+        # the per-frame agreement columns remain the quality metric)
         visual=VisualConfig(quant=quant, batch_size=64,
-                            cnn_stride=0 if profile == "max" else 1),
+                            cnn_stride=0 if profile.startswith("max")
+                            else 1),
         audio=AudioConfig(
             num_classes=8, head="v3", quant=quant,
+            step_sec=1.0 if profile == "max_astep1" else 0.5,
             # round-4 preset semantics (core/config.py): every quantized
             # preset shares the conv extractor; turbo_exact_audio stays the
             # isolation control for the approximation
