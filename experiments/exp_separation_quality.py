@@ -111,21 +111,28 @@ def run_vad_interaction(out: dict) -> None:
     rng = np.random.default_rng(9)
     rows = {}
     for snr in (10.0, 5.0):
-        f1_raw, f1_sep = [], []
+        f1s: dict[str, list] = {"raw": [], "sep": [], "fused": []}
         for _ in range(4):
             wav, mask = exp.build_clip(rng, "music", snr)
-            for tag, sig in (("raw", wav), ("sep", hpss_vocals(wav, SR))):
+            arms = (
+                ("raw", np.asarray(wav, np.float32), {}),
+                ("sep", np.asarray(hpss_vocals(wav, SR), np.float32), {}),
+                # round-5 product mode: raw+separated max-fusion
+                ("fused", np.asarray(wav, np.float32),
+                 {"separate_fusion": True}),
+            )
+            for tag, sig, kw in arms:
                 pred = exp.segments_to_mask(
-                    spectral_vad(np.asarray(sig, np.float32), SR), len(sig))
+                    spectral_vad(sig, SR, **kw), len(sig))
                 m = mask[: len(sig)]
                 tp = (pred & m).sum(); fp = (pred & ~m).sum()
                 fn = (~pred & m).sum()
                 prec = tp / max(tp + fp, 1); rec = tp / max(tp + fn, 1)
-                (f1_raw if tag == "raw" else f1_sep).append(
-                    2 * prec * rec / max(prec + rec, 1e-9))
+                f1s[tag].append(2 * prec * rec / max(prec + rec, 1e-9))
         rows[f"music_snr{int(snr)}"] = {
-            "vad_f1_raw_mix": round(float(np.mean(f1_raw)), 3),
-            "vad_f1_after_separation": round(float(np.mean(f1_sep)), 3),
+            "vad_f1_raw_mix": round(float(np.mean(f1s["raw"])), 3),
+            "vad_f1_after_separation": round(float(np.mean(f1s["sep"])), 3),
+            "vad_f1_separate_fusion": round(float(np.mean(f1s["fused"])), 3),
         }
     out["vad_interaction"] = rows
 

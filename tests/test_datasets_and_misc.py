@@ -587,6 +587,29 @@ def test_vad_agreement_known_boundaries():
         assert np.mean(f1s) > bar, (kind, f1s)
 
 
+def test_vad_separate_fusion_music_gate():
+    """Round-5 gate: the raw+separated max-fusion VAD mode (spectral_vad
+    separate_fusion=True) must clear 0.80 frame F1 on speech-over-music
+    at 5 dB — the benchmark's hardest cell, where the raw mix scores
+    ~0.70 and separate-then-VAD (the reference's own chain) ~0.75; the
+    fusion measured 0.861 (exp_separation_quality.py, PARITY.md)."""
+    from avcer_tpu.pipeline.preprocess import spectral_vad
+
+    exp = _load_vad_mouth_experiment()
+    rng = np.random.default_rng(9)
+    f1s = []
+    for _ in range(2):
+        wav, mask = exp.build_clip(rng, "music", snr_db=5.0)
+        pred = exp.segments_to_mask(
+            spectral_vad(np.asarray(wav, np.float32), 16_000,
+                         separate_fusion=True), len(wav))
+        tp = (pred & mask).sum(); fp = (pred & ~mask).sum()
+        fn = (~pred & mask).sum()
+        prec = tp / max(tp + fp, 1); rec = tp / max(tp + fn, 1)
+        f1s.append(2 * prec * rec / max(prec + rec, 1e-9))
+    assert np.mean(f1s) > 0.80, f1s
+
+
 def test_mouth_proxy_agreement_known_areas():
     """lip_area_from_crop + rolling-mean flags vs flags computed from the
     TRUE (rendered) mouth areas across skin tones / sizes / lighting."""
