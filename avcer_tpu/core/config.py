@@ -120,14 +120,17 @@ class VisualConfig:
     #: with ``fused``, fuse the stride-2 entries of layers 2-3 too
     #: (models/emotion_resnet.py fused_entries — "s2pre" kernel blocks).
     fused_entries: bool = False
-    #: run the static CNN only on every Nth present frame (plus EVERY
-    #: dynamic step frame, so the LSTM feature stream — and therefore the
-    #: whole dynamic output — stays bit-exact); static probs on skipped
-    #: frames hold the last computed row. 1 = reference-exact per-frame
-    #: CNN; 0 = align to the dynamic step cadence round(5*fps/25), the
-    #: reference's own legacy visual pipeline sampling rate
-    #: (src/video/functions/get_face_areas.py:40). Serving approximation —
-    #: drift numbers in PARITY.md (max preset).
+    #: run the static CNN only when the last computed present frame is
+    #: >= cnn_stride frame ids old (greedy, so the <= cnn_stride-1-frame
+    #: staleness bound holds even with sparse face presence), plus EVERY
+    #: dynamic step frame — so the LSTM feature stream, and therefore the
+    #: whole dynamic output, stays bit-exact (under int8, calibration also
+    #: runs on the same leading crops as per-frame serving). Static probs
+    #: on skipped frames hold the last computed row. 1 = reference-exact
+    #: per-frame CNN; 0 = align to the dynamic step cadence
+    #: round(5*fps/25), the reference's own legacy visual pipeline
+    #: sampling rate (src/video/functions/get_face_areas.py:40). Serving
+    #: approximation — drift numbers in PARITY.md (max preset).
     cnn_stride: int = 1
 
 
@@ -220,6 +223,11 @@ class PipelineConfig:
                 " is a per-frame parity artifact); drop --save_face_crops"
                 " or the stride/turbo preset"
             )
+        if self.visual.cnn_stride < 0:
+            raise ValueError(
+                "cnn_stride must be >= 0 (0 = align to the dynamic step"
+                f" cadence, 1 = per-frame); got {self.visual.cnn_stride}"
+            )
 
     def to_json(self, **kw: Any) -> str:
         return json.dumps(_asdict(self), indent=2, **kw)
@@ -296,12 +304,13 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
                         "2); boxes interpolated between detections, CNN "
                         "still runs every frame")
     p.add_argument("--cnn_stride", type=int, default=None,
-                   help="run the static CNN on every Nth present frame "
+                   help="run the static CNN at most every N frames "
                         "(plus every dynamic step frame — the LSTM stream "
                         "stays exact); skipped frames hold the last "
-                        "computed static probs. 0 = align to the dynamic "
-                        "step cadence (the legacy reference visual "
-                        "pipeline's own sampling rate). Default 1 "
+                        "computed static probs for < N frame-times even "
+                        "under sparse face presence. 0 = align to the "
+                        "dynamic step cadence (the legacy reference "
+                        "visual pipeline's own sampling rate). Default 1 "
                         "(reference-exact); the max preset sets 0.")
     p.add_argument("--serving_profile",
                    choices=["parity", "balanced", "int8", "int8_s2",

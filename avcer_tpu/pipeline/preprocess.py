@@ -168,8 +168,11 @@ def vad_speech_probs(
     positives were already ~0): stationary-noise floor subtraction (per-
     bin 10th percentile) before the syllabic-modulation energy and the
     autocorrelation harmonicity, and the f0var weight raised to 1.2 —
-    pitch-contour variability is the cue noise degrades least. Music
-    frame F1 at 10/5 dB: 0.851/0.729 -> benchmark numbers in PARITY.md."""
+    pitch-contour variability is the cue noise degrades least. The
+    standalone official-seed gains are small (music F1 at 10/5 dB:
+    0.851/0.729 -> 0.855/0.731, seed-dependent); what closes the 5 dB
+    cell is the raw+separated max-fusion mode (spectral_vad
+    separate_fusion=True, 0.861 at 5 dB) — PARITY.md has the tables."""
     n = len(wav) // window
     if n == 0:
         return np.zeros(0, np.float32)

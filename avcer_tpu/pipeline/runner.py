@@ -262,7 +262,7 @@ class Pipeline:
         cs = self.cfg.visual.cnn_stride
         if cs == 0:
             cs = int(cnn_step or 1)
-        present_pos_base = 0  # clip-global position among present frames
+        cnn_prev_gid: Optional[int] = None  # last computed frame id
         carry_stat: Optional[np.ndarray] = None
         carry_feat: Optional[np.ndarray] = None
 
@@ -311,7 +311,7 @@ class Pipeline:
 
         def flush_chunk() -> None:
             nonlocal pending, frames_in_pending, drained, det_boxes_nat
-            nonlocal present_pos_base, carry_stat, carry_feat
+            nonlocal cnn_prev_gid, carry_stat, carry_feat
             if not pending:
                 return
             while drained < len(pending):
@@ -382,9 +382,19 @@ class Pipeline:
                         cnn_compute_sel, subset_forward_fill,
                     )
 
-                    pos = present_pos_base + np.arange(present_idx.size)
+                    # int8: refine act_scales on the SAME leading present
+                    # frames the per-frame path would use, BEFORE the
+                    # subset changes which crops the first forward sees —
+                    # keeps the quantized dynamic stream identical between
+                    # strided and per-frame presets
+                    if hasattr(self.visual, "ensure_calibrated_from_frames"):
+                        self.visual.ensure_calibrated_from_frames(
+                            frames_dev, present_idx, boxes_lb
+                        )
                     gids = global_base + present_idx.astype(np.int64)
-                    sel = cnn_compute_sel(pos, gids, int(cnn_step), cs)
+                    sel, cnn_prev_gid = cnn_compute_sel(
+                        gids, int(cnn_step), cs, cnn_prev_gid
+                    )
                     nc = self.cfg.visual.num_classes
                     if sel.any():
                         stat_c, feats_c = self.visual.run_static_from_frames(
@@ -405,7 +415,6 @@ class Pipeline:
                     )  # second fetch
                 stat_list.append(stat)
                 feats_list.append(feats)
-            present_pos_base += present_idx.size
             tacc["cnn"] += time.perf_counter() - t0
             pending = []
             frames_in_pending = 0
@@ -561,10 +570,12 @@ class Pipeline:
                     cnn_compute_sel, subset_forward_fill,
                 )
 
+                # same leading-crop int8 calibration as the per-frame path
+                # (see detect_track_device's cs > 1 branch)
+                if hasattr(self.visual, "ensure_calibrated_crops"):
+                    self.visual.ensure_calibrated_crops(crops)
                 gids = np.flatnonzero(present)
-                sel = cnn_compute_sel(
-                    np.arange(gids.size), gids, step, cs
-                )
+                sel, _ = cnn_compute_sel(gids, step, cs)
                 stat_c, feats_c = self.visual.run_static(crops[sel])
                 stat_probs_p, _ = subset_forward_fill(sel, stat_c, None)
                 feats_p, _ = subset_forward_fill(sel, feats_c, None)

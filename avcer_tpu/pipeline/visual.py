@@ -292,6 +292,21 @@ class VisualStage:
         masks = gradcam_masks(act4, params, jnp.asarray(class_idx))
         return np.asarray(masks)
 
+    def ensure_calibrated_crops(self, crops: np.ndarray) -> None:
+        """One-shot int8 act_scales refinement from the first real crops
+        (no-op when already calibrated). Public so the cnn_stride serving
+        path can calibrate on the SAME leading crops the per-frame path
+        would use — otherwise the subset changes the calibration set and
+        the int8 dynamic stream diverges between presets."""
+        if self._real_calibrated or crops.shape[0] == 0:
+            return
+        # shape (2, ...) matches the constructor's calibration program.
+        # Locked against concurrent run_many clips (see detect.py).
+        with self._calib_lock:
+            if not self._real_calibrated:
+                self.calibrate(np.resize(crops, (2,) + crops.shape[1:]))
+                self._real_calibrated = True
+
     def run_static(self, crops: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """All present-face crops [P, 224, 224, 3] -> (probs [P, 7], feats [P, 512]).
         Fixed-shape batches; ALL batches dispatch before the first fetch so
@@ -300,14 +315,7 @@ class VisualStage:
         nc = self.static_model.num_classes
         if p == 0:
             return np.zeros((0, nc), np.float32), np.zeros((0, 512), np.float32)
-        if not self._real_calibrated:
-            # first real crops refine the noise-seeded int8 scales; shape
-            # (2, ...) matches the constructor's calibration program.
-            # Locked against concurrent run_many clips (see detect.py).
-            with self._calib_lock:
-                if not self._real_calibrated:
-                    self.calibrate(np.resize(crops, (2,) + crops.shape[1:]))
-                    self._real_calibrated = True
+        self.ensure_calibrated_crops(crops)
         bs = self.batch_size
         handles = []
         for s in range(0, p, bs):
@@ -318,6 +326,46 @@ class VisualStage:
             handles.append((self._jit_static(self.static_variables, self._shard(chunk)), n))
         packed = np.asarray(jnp.concatenate([h[:n] for h, n in handles], axis=0))
         return packed[:, :nc], packed[:, nc:]
+
+    def ensure_calibrated_from_frames(
+        self, frames_dev: "jax.Array", present_idx: np.ndarray,
+        boxes: np.ndarray,
+    ) -> None:
+        """One-shot int8 act_scales refinement from the first real crops of
+        the device-resident frame buffer (running max — see pipeline/
+        detect.dispatch_wire; no-op when already calibrated). Public so the
+        cnn_stride serving path can calibrate on the SAME leading present
+        frames the per-frame path would use, keeping the int8 dynamic
+        stream identical between presets. Locked against concurrent
+        run_many clips."""
+        p = present_idx.shape[0]
+        if self._real_calibrated or p == 0:
+            return
+        with self._calib_lock:
+            if not self._real_calibrated:
+                if self._jit_calib_frames is None:
+                    from avcer_tpu.ops.image import crop_and_resize_onehot
+
+                    def _calib(variables, frames, idx, bxs):
+                        crops = crop_and_resize_onehot(frames, idx, bxs, 224)
+                        _, upd = self._calib_model.apply(
+                            variables, vggface_normalize(crops),
+                            mutable=["act_scales"],
+                        )
+                        return upd["act_scales"]
+
+                    self._jit_calib_frames = jax.jit(_calib)
+                sel = np.resize(np.arange(p), 8)  # fixed: repeat if p < 8
+                scales = self._jit_calib_frames(
+                    self.static_variables, frames_dev,
+                    jnp.asarray(present_idx[sel].astype(np.int32)),
+                    jnp.asarray(boxes[sel].astype(np.int32)),
+                )
+                self.static_variables = {
+                    **self.static_variables,
+                    "act_scales": jax.device_put(scales),
+                }
+                self._real_calibrated = True
 
     def run_static_from_frames(
         self,
@@ -331,35 +379,7 @@ class VisualStage:
         nc = self.static_model.num_classes
         if p == 0:
             return np.zeros((0, nc), np.float32), np.zeros((0, 512), np.float32)
-        if not self._real_calibrated:
-            # refine the noise-seeded int8 activation scales with the first
-            # real crops (running max — see pipeline/detect.dispatch_wire).
-            # Locked against concurrent run_many clips.
-            with self._calib_lock:
-                if not self._real_calibrated:
-                    if self._jit_calib_frames is None:
-                        from avcer_tpu.ops.image import crop_and_resize_onehot
-
-                        def _calib(variables, frames, idx, bxs):
-                            crops = crop_and_resize_onehot(frames, idx, bxs, 224)
-                            _, upd = self._calib_model.apply(
-                                variables, vggface_normalize(crops),
-                                mutable=["act_scales"],
-                            )
-                            return upd["act_scales"]
-
-                        self._jit_calib_frames = jax.jit(_calib)
-                    sel = np.resize(np.arange(p), 8)  # fixed: repeat if p < 8
-                    scales = self._jit_calib_frames(
-                        self.static_variables, frames_dev,
-                        jnp.asarray(present_idx[sel].astype(np.int32)),
-                        jnp.asarray(boxes[sel].astype(np.int32)),
-                    )
-                    self.static_variables = {
-                        **self.static_variables,
-                        "act_scales": jax.device_put(scales),
-                    }
-                    self._real_calibrated = True
+        self.ensure_calibrated_from_frames(frames_dev, present_idx, boxes)
         bs = self.batch_size
         handles = []
         for s in range(0, p, bs):
@@ -422,21 +442,33 @@ def dynamic_step_for_fps(fps: float) -> int:
 
 
 def cnn_compute_sel(
-    pos: np.ndarray, frame_ids: np.ndarray, step: int, cnn_stride: int
-) -> np.ndarray:
+    frame_ids: np.ndarray, step: int, cnn_stride: int,
+    prev_gid: int | None = None,
+) -> tuple[np.ndarray, int | None]:
     """Which present frames get a real static-CNN forward under
-    ``VisualConfig.cnn_stride`` serving: every ``cnn_stride``-th present
-    frame by POSITION in the clip's present-frame sequence (robust to
-    detection gaps — a sparse-presence clip still computes at the full
-    stride density) plus every dynamic step frame (``frame_id % step == 0``
-    — exactly the frames whose features feed the LSTM windows, so the
-    dynamic stream stays bit-exact; see build_temporal_plan).
+    ``VisualConfig.cnn_stride`` serving: a present frame is selected when
+    the last computed present frame is >= ``cnn_stride`` FRAME IDS ago
+    (greedy — this is what makes the "static probs held <= cnn_stride-1
+    frames" bound hold in wall-clock even when face presence is sparse;
+    a position-stride rule would stretch the hold by the gap factor) or
+    when it is a dynamic step frame (``frame_id % step == 0`` — exactly
+    the frames whose features feed the LSTM windows, so the dynamic
+    stream stays bit-exact; see build_temporal_plan).
 
-    ``pos``: [P] position of each present frame among the clip's present
-    frames (global across chunks); ``frame_ids``: [P] global frame
-    indices. Returns a [P] bool mask. Position 0 is always selected, so
-    forward-fill always has an in-clip source."""
-    return (pos % cnn_stride == 0) | (frame_ids % step == 0)
+    ``frame_ids``: [P] global frame indices of present frames (this
+    chunk); ``prev_gid``: the last computed frame id from earlier chunks
+    (None at clip start — the first present frame is then always
+    selected, so forward-fill always has an in-clip source). Returns
+    ([P] bool mask, new prev_gid carry)."""
+    n = frame_ids.shape[0]
+    sel = np.zeros(n, bool)
+    last = prev_gid
+    for i in range(n):
+        g = int(frame_ids[i])
+        if last is None or g - last >= cnn_stride or g % step == 0:
+            sel[i] = True
+            last = g
+    return sel, last
 
 
 def subset_forward_fill(
@@ -447,12 +479,18 @@ def subset_forward_fill(
     ``cnn_stride`` serving). ``carry`` is the final filled row of the
     previous chunk (None before any row exists — only reachable while
     ``sel`` has seen no True yet, which ``cnn_compute_sel`` guarantees
-    cannot happen past clip position 0). Returns (filled [P, D] rows,
-    new carry)."""
+    cannot happen past the clip's first present frame). Returns
+    (filled [P, D] rows, new carry)."""
     n = sel.shape[0]
     if n == 0:
         return rows[:0], carry
     src = np.cumsum(sel) - 1
+    if carry is None and src[0] < 0:
+        raise ValueError(
+            "subset_forward_fill: leading unselected rows with no carry — "
+            "the caller must select the clip's first present frame or "
+            "thread the previous chunk's carry"
+        )
     if rows.shape[0]:
         out = rows[np.maximum(src, 0)].copy()
         if src[0] < 0:

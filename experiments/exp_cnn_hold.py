@@ -155,7 +155,7 @@ def decision_sim(cnn_strides=(2, 5, 10), switch_periods_s=(2.0, 0.5),
                     dyn[t] = 0.9 * dyn[t - 1] + 0.1 * zs[t]
                 audio = np.repeat(zs[::12], 12, axis=0)[:t_frames]
                 ids = np.arange(t_frames)
-                sel = cnn_compute_sel(ids, ids, step, cs)
+                sel, _ = cnn_compute_sel(ids, step, cs)
                 held, _ = subset_forward_fill(sel, stat[sel], None)
                 a = decide(stat, dyn, audio, "sim", cfgf)
                 b = decide(held, dyn, audio, "sim", cfgf)

@@ -340,7 +340,7 @@ def main() -> None:
     log(f"{N_CLIPS} clips rendered")
 
     profiles = ["parity", "balanced", "int8", "fast", "turbo_exact_audio",
-                "turbo"]
+                "turbo", "max", "max_astep1"]
     results: dict[str, list] = {p: [] for p in profiles}
     parity_runs = []
     for profile in profiles:
@@ -381,6 +381,13 @@ def main() -> None:
         "shared_extractor_fp32": shared,
         "minutes": round((time.time() - T0) / 60, 1),
     }
+    # merge, don't clobber: sections other experiments attach to this file
+    # (exp_cnn_hold.py's cnn_hold_sensitivity) survive a base-study rerun
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            prev = json.load(f)
+        for k, v in prev.items():
+            out.setdefault(k, v)
     with open(OUT, "w") as f:
         json.dump(out, f, indent=1)
     log("summary:")

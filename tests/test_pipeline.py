@@ -294,6 +294,8 @@ def test_serving_profile_presets():
     cfg, *_ = pipeline_config_from_args(
         ["--serving_profile", "max", "--cnn_stride", "3"])
     assert cfg.visual.cnn_stride == 3  # explicit flag overrides the preset
+    with pytest.raises(ValueError):  # negative stride fails at config time
+        pipeline_config_from_args(["--cnn_stride", "-5"])
 
 
 @pytest.mark.slow
@@ -372,11 +374,15 @@ def test_end_to_end_synthetic_clip(tmp_path, rng, path_mode):
 
 
 @pytest.mark.slow
-def test_cnn_stride_end_to_end_equivalence(tmp_path, rng):
+@pytest.mark.parametrize("quant", ["none", "int8"])
+def test_cnn_stride_end_to_end_equivalence(tmp_path, rng, quant):
     """Full tiny pipeline, parity vs cnn_stride serving on the SAME clip:
     the dynamic stream is bit-exact (step-frame features computed exactly),
     static rows at computed frames are bit-exact, and skipped frames hold
-    the previous computed row."""
+    the previous computed row. The int8 arm pins the calibration contract:
+    act_scales refine on the SAME leading crops in both paths
+    (VisualStage.ensure_calibrated_from_frames), so quantized dynamic
+    streams agree bitwise too."""
     import dataclasses
 
     import cv2
@@ -402,7 +408,7 @@ def test_cnn_stride_end_to_end_equivalence(tmp_path, rng):
 
     cfg = PipelineConfig(
         detector=DetectorConfig(batch_size=8, long_side=64),
-        visual=VisualConfig(batch_size=16),
+        visual=VisualConfig(batch_size=16, quant=quant),
         audio=AudioConfig(batch_size=4),
         weights_dir=str(tmp_path / "nonexistent_weights"),
         save_plot=False,
@@ -429,8 +435,7 @@ def test_cnn_stride_end_to_end_equivalence(tmp_path, rng):
 
     step = dynamic_step(fps)
     np.testing.assert_array_equal(got.dyn_logits, base.dyn_logits)
-    sel = cnn_compute_sel(np.arange(n_frames), np.arange(n_frames),
-                          step, step)
+    sel, _ = cnn_compute_sel(np.arange(n_frames), step, step)
     np.testing.assert_array_equal(
         got.stat_probs[sel], base.stat_probs[sel]
     )
@@ -595,19 +600,43 @@ def test_detect_stride_box_interpolation(tmp_path, rng, stride, monkeypatch):
         assert boxes[i, 1] == 20 and boxes[i, 3] == 60
 
 def test_cnn_stride_sel_and_fill(rng):
-    """cnn_compute_sel picks every stride-th present POSITION plus every
-    step frame; subset_forward_fill holds the last computed row, including
-    across chunk boundaries via the carry."""
+    """cnn_compute_sel selects greedily in FRAME-ID space (the <=
+    cnn_stride-1-frame staleness bound must hold even with sparse
+    presence) plus every step frame; chunking with the prev_gid carry
+    equals the single-shot selection; subset_forward_fill holds the last
+    computed row, including across chunk boundaries via the carry."""
     from avcer_tpu.pipeline.visual import cnn_compute_sel, subset_forward_fill
 
     # present frames at irregular global ids (detection gaps)
     gids = np.array([0, 1, 2, 5, 6, 9, 10, 11, 14, 15, 20, 22, 25, 27, 31])
-    pos = np.arange(gids.size)
-    sel = cnn_compute_sel(pos, gids, step=5, cnn_stride=4)
-    # positions 0,4,8,12 OR gids divisible by 5 (0,5,10,15,20,25)
-    expect = (pos % 4 == 0) | (gids % 5 == 0)
+    step, cs = 5, 4
+    sel, last = cnn_compute_sel(gids, step, cs)
+    # independent greedy reference
+    expect = np.zeros(gids.size, bool)
+    prev = None
+    for i, g in enumerate(gids):
+        if prev is None or g - prev >= cs or g % step == 0:
+            expect[i] = True
+            prev = g
     np.testing.assert_array_equal(sel, expect)
-    assert sel[0]  # position 0 always computed
+    assert sel[0] and last == int(gids[np.flatnonzero(sel)[-1]])
+    # the staleness bound in frame-id space: no present frame is ever
+    # served a row computed >= cs frames earlier
+    comp = np.where(sel, gids, -10**9)
+    held_gid = np.maximum.accumulate(comp)
+    assert int(np.max(gids - held_gid)) < cs
+
+    # chunked selection with the prev_gid carry == single-shot
+    s1, l1 = cnn_compute_sel(gids[:7], step, cs)
+    s2, _ = cnn_compute_sel(gids[7:], step, cs, l1)
+    np.testing.assert_array_equal(np.concatenate([s1, s2]), sel)
+
+    # sparse presence: face on every 3rd frame, cs=5 -> the position-
+    # stride rule would compute every 15 frames; greedy keeps the bound
+    sparse = np.arange(0, 60, 3)
+    ss, _ = cnn_compute_sel(sparse, 5, 5)
+    comp = np.where(ss, sparse, -10**9)
+    assert int(np.max(sparse - np.maximum.accumulate(comp))) < 5
 
     rows = rng.normal(size=(int(sel.sum()), 3)).astype(np.float32)
     filled, carry = subset_forward_fill(sel, rows, None)
@@ -634,6 +663,13 @@ def test_cnn_stride_sel_and_fill(rng):
     )
     np.testing.assert_array_equal(f3, np.tile(carry[None], (4, 1)))
     np.testing.assert_array_equal(c3, carry)
+
+    # leading unselected rows without a carry fail loudly, not as a
+    # downstream TypeError
+    with pytest.raises(ValueError):
+        subset_forward_fill(
+            np.array([False, True]), np.zeros((1, 3), np.float32), None
+        )
 
 
 def test_cnn_stride_device_path(tmp_path, rng):
@@ -687,9 +723,7 @@ def test_cnn_stride_device_path(tmp_path, rng):
 
     assert present.all()
     computed = np.concatenate(recorded["idx"])
-    sel = cnn_compute_sel(
-        np.arange(n_frames), np.arange(n_frames), step, cs
-    )
+    sel, _ = cnn_compute_sel(np.arange(n_frames), step, cs)
     np.testing.assert_array_equal(computed, np.flatnonzero(sel))
     # forward-fill: each row holds the last computed frame id
     held = np.flatnonzero(sel)[np.cumsum(sel) - 1]
@@ -697,6 +731,9 @@ def test_cnn_stride_device_path(tmp_path, rng):
     np.testing.assert_array_equal(feats[:, 0], held.astype(np.float32))
     # every step frame is computed exactly (dynamic stream unchanged)
     assert sel[::step].all()
+    # staleness bound: no frame served a row >= cs frame-ids old
+    ids = np.arange(n_frames)
+    assert int(np.max(ids - held)) < cs
 
 
 def test_calibrate_batch_sizes(tmp_path, rng):
