@@ -480,6 +480,9 @@ def main(argv=None) -> int:
                    help="run the full pipeline on a synthetic clip with the "
                         "converted weights and assert the artifact set")
     a = p.parse_args(argv)
+    from avcer_tpu.core.tpuenv import enable_compile_cache
+
+    enable_compile_cache()  # persistent XLA cache (AVCER_COMPILE_CACHE=0 disables)
 
     ref = a.reference_src
     if ref is None and os.path.isdir("/root/reference/src"):

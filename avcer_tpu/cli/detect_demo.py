@@ -26,6 +26,9 @@ def main(argv=None) -> int:
     p.add_argument("--long_side", type=int, default=640)
     p.add_argument("--weights_dir", default="weights")
     a = p.parse_args(argv)
+    from avcer_tpu.core.tpuenv import enable_compile_cache
+
+    enable_compile_cache()  # persistent XLA cache (AVCER_COMPILE_CACHE=0 disables)
 
     import jax.numpy as jnp
 

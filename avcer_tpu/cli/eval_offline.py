@@ -112,6 +112,9 @@ def main(argv=None) -> int:
              "'audio' dir",
     )
     a = p.parse_args(argv)
+    from avcer_tpu.core.tpuenv import enable_compile_cache
+
+    enable_compile_cache()  # persistent XLA cache (AVCER_COMPILE_CACHE=0 disables)
 
     if a.audio_sweep_root:
         from avcer_tpu.train.metrics import reference_metrics

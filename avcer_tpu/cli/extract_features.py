@@ -51,6 +51,9 @@ def main(argv=None) -> int:
     p.add_argument("--variant", default="v3")
     p.add_argument("--num_classes", type=int, default=8)
     a = p.parse_args(argv)
+    from avcer_tpu.core.tpuenv import enable_compile_cache
+
+    enable_compile_cache()  # persistent XLA cache (AVCER_COMPILE_CACHE=0 disables)
 
     import json
 

@@ -59,7 +59,17 @@ def main(argv=None) -> int:
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--resume", action="store_true",
                    help="continue from the latest checkpoint in the log dir")
+    p.add_argument("--compile_cache_dir", type=str, default="",
+                   help="persistent XLA compilation cache directory "
+                        "(default $AVCER_COMPILE_CACHE, else "
+                        "~/.cache/avcer_tpu/xla; AVCER_COMPILE_CACHE=0 "
+                        "disables); restarted/resumed runs load the "
+                        "train-step program from disk instead of "
+                        "recompiling")
     a = p.parse_args(argv)
+    from avcer_tpu.core.tpuenv import enable_compile_cache
+
+    enable_compile_cache(a.compile_cache_dir)
     if a.print_example_config or not a.config:
         print(json.dumps(example_config(), indent=2))
         return 0

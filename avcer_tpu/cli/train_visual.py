@@ -88,6 +88,9 @@ def main(argv=None) -> int:
     p.add_argument("--log_root", default="logs/visual")
     p.add_argument("--data_parallel", type=int, default=1)
     a = p.parse_args(argv)
+    from avcer_tpu.core.tpuenv import enable_compile_cache
+
+    enable_compile_cache()  # persistent XLA cache (AVCER_COMPILE_CACHE=0 disables)
 
     import jax
     import jax.numpy as jnp

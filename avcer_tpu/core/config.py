@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
@@ -345,6 +346,14 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
                         "even on quantized presets (disables the "
                         "shared-extractor default; drift bound in "
                         "PARITY.md is ~0 either way)")
+    p.add_argument("--compile_cache_dir", type=str, default=None,
+                   help="persistent XLA compilation cache directory "
+                        "(default $AVCER_COMPILE_CACHE, else "
+                        "~/.cache/avcer_tpu/xla; AVCER_COMPILE_CACHE=0 or "
+                        "an empty value disables): programs compile once "
+                        "per machine/jax-version and later process starts "
+                        "load them from disk, eliminating the ~20-40 "
+                        "s/program cold-start (measured 60 s -> 0.9 s)")
     p.add_argument("--fused", action="store_true",
                    help="run the r50 detector + emotion-CNN bottleneck "
                         "chains as fused Pallas VMEM programs (exact "
@@ -352,6 +361,10 @@ def pipeline_config_from_args(argv: Optional[list[str]] = None) -> tuple["Pipeli
                         "the quant fold — PARITY.md). No-op for the "
                         "mobilenet backbone presets.")
     a = p.parse_args(argv)
+    if a.compile_cache_dir != "":  # explicit empty string disables
+        from avcer_tpu.core.tpuenv import enable_compile_cache
+
+        enable_compile_cache(a.compile_cache_dir or "")
     head = a.audio_head or ("v3" if a.audio_classes == 8 else "v2")
     quant = "none" if a.serving_profile in ("parity", "balanced") else "int8"
     backbone = (

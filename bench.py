@@ -43,13 +43,17 @@ import time
 
 import numpy as np
 
-# persistent XLA compilation cache: repeat bench runs skip recompiles
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
-
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from avcer_tpu.core.tpuenv import ensure_scoped_vmem  # noqa: E402
+from avcer_tpu.core.tpuenv import (  # noqa: E402
+    enable_compile_cache,
+    ensure_scoped_vmem,
+)
 
 ensure_scoped_vmem()
+# persistent XLA compilation cache (~/.cache/avcer_tpu/xla; survives /tmp
+# wipes between rounds): repeat bench runs load executables in ~1 s
+# instead of recompiling through the relay (measured 60 s -> 0.9 s)
+enable_compile_cache()
 
 # smoke mode exercises the int8 rows on CPU, where XLA has no fast int8
 # conv path (scalar emulation, ~50x) — use the byte-identical f32-accum

@@ -8,6 +8,11 @@ is forced through jax.config before any backend initializes.
 
 import os
 
+# no persistent XLA compile cache by default under tests: the suite
+# compiles hundreds of tiny throwaway programs (test_compile_cache.py
+# exercises the cache explicitly, in subprocesses with their own dir)
+os.environ.setdefault("AVCER_COMPILE_CACHE", "0")
+
 platform = os.environ.get("AVCER_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
